@@ -1,0 +1,181 @@
+"""xTB engine tests: integrals, SCF invariants, autodiff gradients.
+
+These validate the ENGINE (forms, convergence, derivatives, batching) —
+numeric parity of the parameterization against the reference energies is
+exercised separately by the validation harness.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
+from metalquicha_tpu.methods.xtb.basis import slater_to_gauss
+from metalquicha_tpu.methods.xtb.calculator import (
+    XtbCalculator,
+    fragment_data_from_batch,
+)
+from metalquicha_tpu.methods.xtb.batch import build_batch, element_basis
+
+WATER = (
+    np.array([8, 1, 1]),
+    np.array([[0.0, 0.0, 0.117], [0.0, 0.757, -0.471], [0.0, -0.757, -0.471]])
+    * ANGSTROM_TO_BOHR,
+    0,
+    1,
+)
+
+
+@pytest.fixture(scope="module")
+def calc():
+    return XtbCalculator()
+
+
+@pytest.fixture(scope="module")
+def water_result(calc):
+    frag = calc.make_batch([WATER])
+    e, aux = calc.energies(frag)
+    return frag, e, aux
+
+
+def test_sto_ng_fit_quality():
+    """Tabulated STO-nG expansions must reproduce the STO radial function."""
+
+    def quality(ng, n, l, zeta=1.3):
+        import math
+
+        r = np.linspace(1e-6, 30, 100001)
+        nfac = (2 * zeta) ** (n + 0.5) / math.sqrt(math.factorial(2 * n))
+        sto = nfac * r ** (n - 1) * np.exp(-zeta * r)
+        al, co = slater_to_gauss(ng, n, l, zeta)
+        cg = np.zeros_like(r)
+        for a, c in zip(al, co):
+            df = 1.0
+            k = 2 * l - 1
+            while k > 1:
+                df *= k
+                k -= 2
+            nn = (2 * a / math.pi) ** 0.75 * (4 * a) ** (l / 2) / math.sqrt(df)
+            cg += c * nn * r**l * np.exp(-a * r * r)
+        s12 = np.trapezoid(sto * cg * r * r, r)
+        s22 = np.trapezoid(cg * cg * r * r, r)
+        return s12 / np.sqrt(s22)
+
+    assert quality(6, 1, 0) > 0.99999
+    assert quality(6, 2, 0) > 0.99999
+    assert quality(6, 2, 1) > 0.99999
+    assert quality(3, 1, 0) > 0.9998
+    assert quality(4, 1, 0) > 0.9999
+
+
+def test_overlap_symmetric_normalized(calc, water_result):
+    import jax.numpy as jnp
+
+    from metalquicha_tpu.methods.xtb.overlap import overlap_matrix
+
+    frag_b, _, _ = water_result
+    frag = jax.tree.map(lambda x: x[0], frag_b)
+    S = overlap_matrix(
+        frag.coords, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff
+    )
+    S = np.asarray(S)
+    np.testing.assert_allclose(S, S.T, atol=1e-14)
+    np.testing.assert_allclose(np.diag(S), 1.0, atol=1e-12)
+    # eigenvalues positive (S positive definite)
+    assert np.linalg.eigvalsh(S).min() > 0.1
+
+
+def test_scf_converges_and_conserves_charge(water_result):
+    _, e, aux = water_result
+    assert float(aux["scf_residual"][0]) < 1e-10
+    assert abs(float(aux["charges"].sum())) < 1e-10
+    assert -7.0 < float(e[0]) < -4.0  # sane GFN1 water ballpark
+
+
+def test_cation_charge_conserved(calc):
+    h3o = (
+        np.array([8, 1, 1, 1]),
+        np.array(
+            [
+                [1.0925940942, -0.1960118985, 0.1054113976],
+                [2.0700171780, -0.0708506168, 0.0091166421],
+                [0.7807135018, -0.4182867270, -0.8074994503],
+                [0.7408717471, 0.7134153793, 0.2734643830],
+            ]
+        )
+        * ANGSTROM_TO_BOHR,
+        1,
+        1,
+    )
+    frag = calc.make_batch([h3o])
+    e, aux = calc.energies(frag)
+    assert float(aux["scf_residual"][0]) < 1e-10
+    assert abs(float(aux["charges"].sum()) - 1.0) < 1e-10
+
+
+def test_ad_gradient_matches_fd(calc):
+    frag = calc.make_batch([WATER])
+    _, g, _ = calc.gradients(frag)
+    g = np.asarray(g[0])[:3]
+    h = 1e-5
+    numbers, coords, charge, mult = WATER
+    for a in range(3):
+        for d in range(3):
+            cp = coords.copy()
+            cp[a, d] += h
+            cm = coords.copy()
+            cm[a, d] -= h
+            ep = calc.energies(calc.make_batch([(numbers, cp, charge, mult)]))[0][0]
+            em = calc.energies(calc.make_batch([(numbers, cm, charge, mult)]))[0][0]
+            fd = (float(ep) - float(em)) / (2 * h)
+            assert abs(g[a, d] - fd) < 5e-8, (a, d, g[a, d], fd)
+
+
+def test_translation_rotation_invariance(calc, water_result):
+    _, e0, _ = water_result
+    numbers, coords, charge, mult = WATER
+    # translation
+    ft = calc.make_batch([(numbers, coords + 7.3, charge, mult)])
+    assert abs(float(calc.energies(ft)[0][0] - e0[0])) < 1e-11
+    # rotation about z by 0.3 rad
+    c, s = np.cos(0.3), np.sin(0.3)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    fr = calc.make_batch([(numbers, coords @ R.T, charge, mult)])
+    assert abs(float(calc.energies(fr)[0][0] - e0[0])) < 1e-11
+
+
+def test_padding_invariance(calc, water_result):
+    _, e0, _ = water_result
+    fp = calc.make_batch([WATER], pad_to=(9, 18, 24))
+    assert abs(float(calc.energies(fp)[0][0] - e0[0])) < 1e-11
+
+
+def test_batching_matches_single(calc):
+    """A heterogeneous batch must reproduce per-fragment energies."""
+    numbers, coords, charge, mult = WATER
+    h2 = (np.array([1, 1]), np.array([[0.0, 0, 0], [1.4, 0, 0]]), 0, 1)
+    fb = calc.make_batch([WATER, h2])
+    eb, _ = calc.energies(fb)
+    e1 = calc.energies(calc.make_batch([WATER], pad_to=(3, 6, 8)))[0][0]
+    # pad h2 to the same bucket as the batch for identical shapes
+    nat, nsh, nao = fb.coords.shape[1], fb.sh_mask.shape[1], fb.ao_mask.shape[1]
+    e2 = calc.energies(calc.make_batch([h2], pad_to=(nat, nsh, nao)))[0][0]
+    assert abs(float(eb[0]) - float(e1)) < 1e-11
+    assert abs(float(eb[1]) - float(e2)) < 1e-11
+
+
+def test_element_basis_ao_counts():
+    assert element_basis(1).n_ao == 2  # H: 1s + 2s
+    assert element_basis(8).n_ao == 4  # O: 2s + 2p
+    assert element_basis(6).n_shells == 2
+
+
+def test_h_2s_orthogonalized():
+    """H's polarization 2s must be orthogonal to its 1s after basis setup."""
+    eb = element_basis(1)
+    a1, c1 = eb.prim_alpha[0], eb.prim_coeff[0]
+    a2, c2 = eb.prim_alpha[1], eb.prim_coeff[1]
+    ai = a1[:, None]
+    aj = a2[None, :]
+    s = (2.0 * np.sqrt(ai * aj) / (ai + aj)) ** 1.5
+    assert abs(c1 @ s @ c2) < 1e-12
