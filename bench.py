@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Headline benchmark: GFN1-xTB fragment energies/sec on one chip.
+
+Workload: the MBE(2) water-cluster kernel — a padded batch of water dimers
+(6 atoms, 16 AOs each), single-point energies, steady-state throughput.
+Target (BASELINE.md): >= 1000 fragment energies/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_FRAGS_PER_SEC = 1000.0  # driver north-star for a v5p-8 chip
+
+
+def main() -> int:
+    import numpy as np
+
+    # TPU path: f32 compute (f64 unsupported in hardware); the validation
+    # suite separately checks f64 numerics on CPU.
+    import jax
+
+    f64 = os.environ.get("BENCH_F64", "0") == "1"
+    if f64:
+        jax.config.update("jax_enable_x64", True)
+
+    from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
+    from metalquicha_tpu.methods.xtb.calculator import XtbCalculator
+    import jax.numpy as jnp
+
+    w = (
+        np.array(
+            [[0.0, 0.0, 0.117], [0.0, 0.757, -0.471], [0.0, -0.757, -0.471]]
+        )
+        * ANGSTROM_TO_BOHR
+    )
+    rng = np.random.default_rng(0)
+
+    def dimer(i):
+        sep = 5.5 + 0.3 * rng.random()
+        c1 = w + rng.normal(0, 0.05, (1, 3))
+        c2 = w + rng.normal(0, 0.05, (1, 3)) + np.array([[sep, 0, 0]])
+        return (np.array([8, 1, 1, 8, 1, 1]), np.vstack([c1, c2]), 0, 1)
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "512"))
+    n_iters = int(os.environ.get("BENCH_ITERS", "8"))
+
+    calc = XtbCalculator(dtype=jnp.float64 if f64 else jnp.float32)
+    frag = calc.make_batch([dimer(i) for i in range(batch_size)])
+
+    # warmup/compile
+    e, aux = calc.energies(frag)
+    e.block_until_ready()
+
+    # vary coordinates each iteration so no dispatch-level caching can hide
+    # work; perturbations are tiny so SCF behavior stays comparable
+    coords0 = np.asarray(frag.coords)
+    variants = [
+        frag._replace(coords=jnp.asarray(coords0 + 1e-6 * (i + 1)))
+        for i in range(n_iters)
+    ]
+    for v in variants:
+        v.coords.block_until_ready()
+
+    t0 = time.perf_counter()
+    for v in variants:
+        e, aux = calc.energies(v)
+    e.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    frags_per_sec = batch_size * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "gfn1_fragment_energies_per_sec",
+                "value": round(frags_per_sec, 2),
+                "unit": "fragments/s",
+                "vs_baseline": round(frags_per_sec / BASELINE_FRAGS_PER_SEC, 3),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

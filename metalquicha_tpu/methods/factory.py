@@ -1,0 +1,42 @@
+"""Method factory.
+
+Parity with /root/reference/src/methods/mqc_method_factory.F90:42-111:
+dispatches on method_type and copies method configuration into the concrete
+calculator (electronic temperature, SCF iteration budget, solvation).
+"""
+
+from __future__ import annotations
+
+import warnings
+
+from ..io.adapter import DriverConfig, MethodType
+from .stubs import DFTMethod, HFMethod, MCSCFMethod
+from .xtb.engine import EngineSettings
+
+
+def create_calculator(drv: DriverConfig):
+    mt = drv.method.method_type
+    if mt in (MethodType.GFN1, MethodType.GFN2):
+        from .xtb.calculator import XtbCalculator
+
+        variant = "gfn1" if mt == MethodType.GFN1 else "gfn2"
+        settings = EngineSettings(
+            max_scf_iter=max(64, min(drv.method.scf.maxiter, 256)),
+            electronic_temp=drv.method.xtb.electronic_temp,
+        )
+        xtb = drv.method.xtb
+        solvation = None
+        if xtb.has_solvation():
+            from .xtb.solvation import make_solvation_model
+
+            solvation = make_solvation_model(xtb, variant)
+        return XtbCalculator(
+            settings=settings, variant=variant, solvation=solvation
+        )
+    if mt == MethodType.HF:
+        return HFMethod()
+    if mt == MethodType.DFT:
+        return DFTMethod()
+    if mt == MethodType.MCSCF:
+        return MCSCFMethod()
+    raise NotImplementedError(f"method {mt.name} is not implemented")

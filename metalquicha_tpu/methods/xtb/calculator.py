@@ -67,10 +67,21 @@ class FragmentData(NamedTuple):
     d3_ref_cn: jnp.ndarray
     d3_ref_c6sqrt: jnp.ndarray
     d3_r4r2: jnp.ndarray
+    solv_rvdw: jnp.ndarray
+    solv_sx: jnp.ndarray
 
 
-def fragment_data_from_batch(batch: XtbBatch, dtype=jnp.float64) -> FragmentData:
+def fragment_data_from_batch(
+    batch: XtbBatch, dtype=jnp.float64, solvation=None
+) -> FragmentData:
     d3 = [build_d3_tables(batch.numbers[b]) for b in range(batch.n_fragments)]
+    if solvation is not None:
+        solv = [solvation.host_tables(batch.numbers[b]) for b in range(batch.n_fragments)]
+        solv_rvdw = np.stack([t["solv_rvdw"] for t in solv])
+        solv_sx = np.stack([t["solv_sx"] for t in solv])
+    else:
+        solv_rvdw = np.zeros_like(batch.at_rcov)
+        solv_sx = np.zeros_like(batch.at_rcov)
 
     def f(x):
         x = np.asarray(x)
@@ -108,29 +119,45 @@ def fragment_data_from_batch(batch: XtbBatch, dtype=jnp.float64) -> FragmentData
         d3_ref_cn=f(np.stack([t["ref_cn"] for t in d3])),
         d3_ref_c6sqrt=f(np.stack([t["ref_c6sqrt"] for t in d3])),
         d3_r4r2=f(np.stack([t["r4r2"] for t in d3])),
+        solv_rvdw=f(solv_rvdw),
+        solv_sx=f(solv_sx),
     )
 
 
-def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings):
+def _solv_gamma(coords, frag: FragmentData, solvation):
+    if solvation is None:
+        return None
+    return solvation.gamma_atoms(
+        coords, frag.solv_rvdw, frag.solv_sx, frag.atom_mask
+    )
+
+
+def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
+                      solvation=None):
     """Run the (non-differentiated) SCC to get converged shell charges."""
     c = jax.lax.stop_gradient(coords)
     S = overlap_matrix(c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff)
     cn = coordination_numbers(c, frag.at_rcov, frag.atom_mask, settings.kcn_steep)
     H0 = h0_matrix(S, c, frag, cn, settings)
     gamma = gamma_matrix(c, frag, settings)
-    q_star, resid = scf_solve(H0, S, gamma, frag, kt, settings)
+    gamma_at = _solv_gamma(c, frag, solvation)
+    q_star, resid = scf_solve(H0, S, gamma, frag, kt, settings, gamma_at)
     return jax.lax.stop_gradient(q_star), jax.lax.stop_gradient(resid)
 
 
-def single_point_energy(coords, frag: FragmentData, settings: EngineSettings):
+def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
+                        solvation=None):
     """Total GFN1 energy of one (padded) fragment; differentiable in coords.
 
     Returns (energy, aux) with aux = {charges, scf_residual, dipole}.
     """
     kt = settings.electronic_temp * KB_HARTREE
-    q_star, resid = _converge_charges(coords, frag, kt, settings)
+    q_star, resid = _converge_charges(coords, frag, kt, settings, solvation)
 
-    e_el, eps, f, entropy = electronic_energy(coords, q_star, frag, kt, settings)
+    gamma_at = _solv_gamma(coords, frag, solvation)
+    e_el, eps, f, entropy = electronic_energy(
+        coords, q_star, frag, kt, settings, gamma_at
+    )
     e_rep = repulsion_energy(
         coords, frag.at_zeff, frag.at_alpha, frag.atom_mask,
         settings.kexp_rep, settings.rexp_rep,
@@ -164,8 +191,6 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings):
     return energy, aux
 
 
-def _energy_only(coords, frag, settings):
-    return single_point_energy(coords, frag, settings)[0]
 
 
 class XtbCalculator:
@@ -179,26 +204,35 @@ class XtbCalculator:
     """
 
     def __init__(self, settings: EngineSettings = EngineSettings(),
-                 variant: str = "gfn1", dtype=jnp.float64):
+                 variant: str = "gfn1", dtype=jnp.float64, solvation=None):
         self.settings = settings
         self.variant = variant
         self.dtype = dtype
+        self.solvation = solvation
 
         self._energies = jax.jit(
-            jax.vmap(partial(single_point_energy, settings=self.settings)),
+            jax.vmap(
+                partial(
+                    single_point_energy,
+                    settings=self.settings,
+                    solvation=self.solvation,
+                )
+            ),
         )
 
         def e_and_g(coords, frag):
             (e, aux), g = jax.value_and_grad(
                 single_point_energy, argnums=0, has_aux=True
-            )(coords, frag, self.settings)
+            )(coords, frag, self.settings, self.solvation)
             return e, g, aux
 
         self._gradients = jax.jit(jax.vmap(e_and_g))
 
     def make_batch(self, fragments, pad_to=None) -> FragmentData:
         batch = build_batch(fragments, variant=self.variant, pad_to=pad_to)
-        return fragment_data_from_batch(batch, dtype=self.dtype)
+        return fragment_data_from_batch(
+            batch, dtype=self.dtype, solvation=self.solvation
+        )
 
     def energies(self, frag: FragmentData):
         return self._energies(frag.coords, frag)

@@ -195,27 +195,38 @@ def _general_eigh(F, S_chol):
     return eps, C
 
 
-def _coulomb_potential(q_sh, gamma, batch, settings):
-    """v_sh = dE_coul/dq_sh (shell) incl. third-order atomic term."""
+def _atom_charges(q_sh, batch):
+    nat = batch.at_gam3.shape[0]
+    return jnp.zeros(nat).at[batch.sh_atom].add(q_sh * batch.sh_mask)
+
+
+def _coulomb_potential(q_sh, gamma, batch, settings, gamma_at=None):
+    """v_sh = dE_coul/dq_sh (shell); third-order + atom-level (solvation)."""
     v = gamma @ q_sh
-    if settings.third_order:
-        nat = batch.at_gam3.shape[0]
-        q_at = jnp.zeros(nat).at[batch.sh_atom].add(q_sh * batch.sh_mask)
-        v = v + (batch.at_gam3 * q_at**2)[batch.sh_atom]
+    if settings.third_order or gamma_at is not None:
+        q_at = _atom_charges(q_sh, batch)
+        v_at = jnp.zeros_like(q_at)
+        if settings.third_order:
+            v_at = v_at + batch.at_gam3 * q_at**2
+        if gamma_at is not None:
+            v_at = v_at + gamma_at @ q_at
+        v = v + v_at[batch.sh_atom]
     return v
 
 
-def _coulomb_energy(q_sh, gamma, batch, settings):
+def _coulomb_energy(q_sh, gamma, batch, settings, gamma_at=None):
     e2 = 0.5 * q_sh @ (gamma @ q_sh)
-    if settings.third_order:
-        nat = batch.at_gam3.shape[0]
-        q_at = jnp.zeros(nat).at[batch.sh_atom].add(q_sh * batch.sh_mask)
-        e2 = e2 + (batch.at_gam3 * q_at**3).sum() / 3.0
+    if settings.third_order or gamma_at is not None:
+        q_at = _atom_charges(q_sh, batch)
+        if settings.third_order:
+            e2 = e2 + (batch.at_gam3 * q_at**3).sum() / 3.0
+        if gamma_at is not None:
+            e2 = e2 + 0.5 * q_at @ (gamma_at @ q_at)
     return e2
 
 
-def _fock(H0, S, q_sh, gamma, batch, settings):
-    v_sh = _coulomb_potential(q_sh, gamma, batch, settings)
+def _fock(H0, S, q_sh, gamma, batch, settings, gamma_at=None):
+    v_sh = _coulomb_potential(q_sh, gamma, batch, settings, gamma_at)
     v_ao = v_sh[batch.ao_shell]
     # population derivative: dE/dn = -dE/dq
     shift = -0.5 * (v_ao[:, None] + v_ao[None, :]) * S
@@ -228,7 +239,7 @@ def _shell_populations(P, S, batch):
     return jnp.zeros(nsh).at[batch.ao_shell].add(ps * batch.ao_mask)
 
 
-def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings):
+def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
     """Fixed-iteration SCC loop (not differentiated). Returns converged
     shell charges q*, occupations f*, entropy, and final charge residual."""
     L = jnp.linalg.cholesky(S)
@@ -236,7 +247,7 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings):
 
     def step(carry, _):
         q, _ = carry
-        F = _fock(H0, S, q, gamma, batch, settings)
+        F = _fock(H0, S, q, gamma, batch, settings, gamma_at)
         eps, C = _general_eigh(F, L)
         f, _ = occupations(
             eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,
@@ -255,11 +266,15 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings):
     return q, resid
 
 
-def electronic_energy(coords, q_star, batch, kt, settings: EngineSettings):
+def electronic_energy(
+    coords, q_star, batch, kt, settings: EngineSettings, gamma_at=None
+):
     """Variational total electronic energy at converged charges q*.
 
     Differentiable in `coords`; q* must be stop-gradient'ed by the caller.
-    Returns (E_el, eps, f, entropy) — eps/f for downstream analysis.
+    gamma_at: optional atom-level kernel addition (solvation), a function of
+    coords upstream so its geometric derivatives flow. Returns
+    (E_el, eps, f, entropy) — eps/f for downstream analysis.
     """
     S = overlap_matrix(
         coords, batch.ao_atom, batch.ao_lxyz, batch.prim_alpha, batch.prim_coeff
@@ -270,7 +285,7 @@ def electronic_energy(coords, q_star, batch, kt, settings: EngineSettings):
     H0 = h0_matrix(S, coords, batch, cn, settings)
     gamma = gamma_matrix(coords, batch, settings)
 
-    F = _fock(H0, S, q_star, gamma, batch, settings)
+    F = _fock(H0, S, q_star, gamma, batch, settings, gamma_at)
     L = jnp.linalg.cholesky(S)
     eps, C = _general_eigh(F, L)
     f, entropy = occupations(
@@ -280,12 +295,12 @@ def electronic_energy(coords, q_star, batch, kt, settings: EngineSettings):
     f = jax.lax.stop_gradient(f)
     e_band = (f * eps).sum()
 
-    v_sh = _coulomb_potential(q_star, gamma, batch, settings)
+    v_sh = _coulomb_potential(q_star, gamma, batch, settings, gamma_at)
     n_star = (batch.sh_refocc - q_star) * batch.sh_mask
     # E_band = tr(P H0) - sum_sh v_sh n_sh, so adding back sum v n* recovers
     # tr(P H0); E_coul then adds the charge-fluctuation energy once.
     e_el = e_band + (v_sh * n_star).sum() + _coulomb_energy(
-        q_star, gamma, batch, settings
+        q_star, gamma, batch, settings, gamma_at
     )
     if settings.include_entropy and not settings.fixed_occupations:
         e_el = e_el - kt * jax.lax.stop_gradient(entropy)
