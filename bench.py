@@ -31,9 +31,12 @@ def main() -> int:
     f64 = os.environ.get("BENCH_F64", "0") == "1"
     if f64:
         jax.config.update("jax_enable_x64", True)
+    # TPU f32 matmuls default to bf16 passes; SCC needs true f32 to converge
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
     from metalquicha_tpu.methods.xtb.calculator import XtbCalculator
+    from metalquicha_tpu.methods.xtb.engine import settings_from_params
     import jax.numpy as jnp
 
     w = (
@@ -53,7 +56,11 @@ def main() -> int:
     batch_size = int(os.environ.get("BENCH_BATCH", "512"))
     n_iters = int(os.environ.get("BENCH_ITERS", "8"))
 
-    calc = XtbCalculator(dtype=jnp.float64 if f64 else jnp.float32)
+    scf_iters = int(os.environ.get("BENCH_SCF_ITERS", "16"))
+    calc = XtbCalculator(
+        settings_from_params("gfn1", max_scf_iter=scf_iters),
+        dtype=jnp.float64 if f64 else jnp.float32,
+    )
     frag = calc.make_batch([dimer(i) for i in range(batch_size)])
 
     # warmup/compile
@@ -77,6 +84,8 @@ def main() -> int:
     dt = time.perf_counter() - t0
 
     frags_per_sec = batch_size * n_iters / dt
+    max_resid = float(np.abs(np.asarray(aux["scf_residual"])).max())
+    assert max_resid < 1e-3, f"SCF not converged in bench: {max_resid}"
     print(
         json.dumps(
             {

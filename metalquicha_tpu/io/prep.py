@@ -110,18 +110,30 @@ def _emit_connectivity(buf: _Buf, mol: dict):
     if not conn:
         return
     bonds = conn.get("bonds", conn) if isinstance(conn, dict) else conn
+    fragments = mol.get("fragments") or []
+
+    def frag_sets_of(atom: int) -> frozenset:
+        return frozenset(
+            fi for fi, frag in enumerate(fragments) if atom in frag
+        )
+
     buf.write("%connectivity\n")
     buf.write(f"nbonds = {len(bonds)}\n\n")
     nbroken = 0
     for bond in bonds:
         i, j = int(bond[0]), int(bond[1])
         order = int(bond[2]) if len(bond) > 2 else 1
-        is_broken = len(bond) > 3 and str(bond[3]).lower() in ("broken", "true", "1")
+        # a bond is broken when its endpoints belong to different fragment
+        # sets — the capping trigger (matches the upstream prep semantics)
+        if len(bond) > 3:
+            is_broken = str(bond[3]).lower() in ("broken", "true", "1")
+        else:
+            is_broken = bool(fragments) and frag_sets_of(i) != frag_sets_of(j)
         if is_broken:
             nbroken += 1
             buf.write(f"{i} {j} {order} broken\n")
         else:
-            buf.write(f"{i} {j} {order}\n")
+            buf.write(f"{i} {j} {order} preserved\n")
     buf.write(f"\nnbroken = {nbroken}\n")
     buf.write("end  ! connectivity\n\n")
 

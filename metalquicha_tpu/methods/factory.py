@@ -11,7 +11,7 @@ import warnings
 
 from ..io.adapter import DriverConfig, MethodType
 from .stubs import DFTMethod, HFMethod, MCSCFMethod
-from .xtb.engine import EngineSettings
+from .xtb.engine import settings_from_params
 
 
 def create_calculator(drv: DriverConfig):
@@ -20,8 +20,9 @@ def create_calculator(drv: DriverConfig):
         from .xtb.calculator import XtbCalculator
 
         variant = "gfn1" if mt == MethodType.GFN1 else "gfn2"
-        settings = EngineSettings(
-            max_scf_iter=max(64, min(drv.method.scf.maxiter, 256)),
+        settings = settings_from_params(
+            variant,
+            max_scf_iter=max(32, min(drv.method.scf.maxiter, 256)),
             electronic_temp=drv.method.xtb.electronic_temp,
         )
         xtb = drv.method.xtb

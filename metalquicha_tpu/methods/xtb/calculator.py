@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...constants import KB_HARTREE
-from . import params_gfn1
 from .batch import XtbBatch, build_batch
 from .dispersion_d3 import build_d3_tables, d3_energy
 from .engine import (
@@ -163,7 +162,6 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         settings.kexp_rep, settings.rexp_rep,
     )
     cn = coordination_numbers(coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep)
-    g = params_gfn1.GLOBALS
     d3tab = {
         "ref_cn": frag.d3_ref_cn,
         "ref_c6sqrt": frag.d3_ref_c6sqrt,
@@ -171,7 +169,7 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     }
     e_disp = d3_energy(
         coords, cn, d3tab, frag.atom_mask,
-        g.disp_s6, g.disp_s8, g.disp_a1, g.disp_a2,
+        settings.disp_s6, settings.disp_s8, settings.disp_a1, settings.disp_a2,
     )
 
     # atomic partial charges and Mulliken point-charge dipole

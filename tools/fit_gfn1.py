@@ -1,0 +1,254 @@
+#!/usr/bin/env python3
+"""Inverse parameterization of GFN1-xTB against the reference validation
+energies.
+
+Every validation energy is a linear combination sum_i w_i E_i(theta) of
+fragment energies (MBE weights / PIE coefficients / single fragments), and
+E_i is differentiable in theta through the engine's variational functional.
+Fragments are grouped by identical (numbers, charge, mult) so each group is
+ONE vmapped value_and_grad; Levenberg-Marquardt with a prior-anchoring term
+then reconstructs the parameter tables.
+
+Usage:
+  python tools/fit_gfn1.py --iters 20 --out fitted_gfn1.json
+  python tools/fit_gfn1.py --targets h3o,prism_unfrag --iters 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from collections import defaultdict
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.flatten_util import ravel_pytree
+
+from metalquicha_tpu.frag.combinatorics import enumerate_polymers
+from metalquicha_tpu.frag.gmbe import enumerate_pie_terms, primary_atom_sets
+from metalquicha_tpu.frag.mbe import mbe_weights
+from metalquicha_tpu.frag.screening import apply_distance_screening
+from metalquicha_tpu.geometry import (
+    build_fragment_from_atom_list,
+    build_fragment_from_indices,
+)
+from metalquicha_tpu.io.adapter import config_to_driver, config_to_system_geometries
+from metalquicha_tpu.io.config import parse_mqc_string
+from metalquicha_tpu.io.prep import emit_mqc
+from metalquicha_tpu.methods.xtb.engine import settings_from_params
+from metalquicha_tpu.methods.xtb.param_fit import (
+    FragmentSpec,
+    theta_init,
+    theta_to_tables,
+)
+from metalquicha_tpu.methods.xtb.calculator import single_point_energy
+
+INPUTS = os.path.join(REPO, "validation", "inputs")
+
+#: target name -> (input json, expected energy)
+GFN1_TARGETS = {
+    "h3o": ("h3o.json", -5.773131213617977),
+    "prism_unfrag": ("multi_structure.json", -34.683832133514869),
+    "prism_mbe": ("prism.json", -34.6736678571),
+    "charged_cluster": ("charged_cluster.json", -45.716138379),
+    "gly10_unfrag": ("no_frag.json", -143.291489223019653),
+    "gly10_mbe": ("gly10.json", -143.3014637669),
+    "gmbe_gly3": ("overlapping_gly3.json", -47.019271892),
+    "gmbe_decane": ("nlevel_3_ov_decane.json", -33.050613974),
+}
+
+
+def _bucket(n):
+    for b in (4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
+        if n <= b:
+            return b
+    return n
+
+
+def fragments_and_weights(name: str):
+    """(fragments, weights) whose weighted energy sum is the target."""
+    json_path = os.path.join(INPUTS, GFN1_TARGETS[name][0])
+    with open(json_path) as fh:
+        data = json.load(fh)
+    cfg = parse_mqc_string(emit_mqc(data, base_dir=INPUTS))
+    drv = config_to_driver(cfg)
+    _name0, sg = config_to_system_geometries(cfg)[0]
+
+    if drv.nlevel == 0 or name in ("prism_unfrag", "gly10_unfrag"):
+        sg1 = sg.as_single_monomer() if sg.n_monomers != 1 else sg
+        return [build_fragment_from_indices(sg1, [0])], np.array([1.0])
+
+    if drv.use_gmbe:
+        level = max(drv.nlevel, 1)
+        tbl = enumerate_polymers(sg.n_monomers, level)
+        levels = (tbl >= 0).sum(axis=1)
+        tbl = tbl[levels == level]
+        tbl = apply_distance_screening(tbl, sg, drv.cutoffs)
+        atom_sets, coeffs = enumerate_pie_terms(
+            primary_atom_sets(sg, tbl), drv.max_intersection_level
+        )
+        frags = [build_fragment_from_atom_list(sg, s) for s in atom_sets]
+        return frags, coeffs.astype(float)
+
+    polymers = enumerate_polymers(sg.n_monomers, drv.nlevel)
+    polymers = apply_distance_screening(polymers, sg, drv.cutoffs)
+    frags = [
+        build_fragment_from_indices(sg, row[row >= 0]) for row in polymers
+    ]
+    return frags, mbe_weights(polymers).astype(float)
+
+
+class TargetEval:
+    """One validation energy as a differentiable function of theta."""
+
+    def __init__(self, name: str, settings):
+        self.name = name
+        self.expected = GFN1_TARGETS[name][1]
+        frags, weights = fragments_and_weights(name)
+
+        groups = defaultdict(list)
+        for frag, w in zip(frags, weights):
+            key = (
+                tuple(int(z) for z in frag.numbers),
+                int(frag.charge),
+                int(frag.multiplicity),
+            )
+            groups[key].append((frag, float(w)))
+
+        self.groups = []
+        for key, members in groups.items():
+            rep = members[0][0]
+            nat = rep.n_total
+            pad = (_bucket(nat), 2 * _bucket(nat), int(2.5 * _bucket(nat)) + 1)
+            spec = FragmentSpec(
+                rep.numbers, rep.coords, rep.charge, rep.multiplicity,
+                pad_to=pad,
+            )
+            coords = np.zeros((len(members), pad[0], 3))
+            base_coords = np.asarray(spec.base.coords)
+            for i, (frag, _w) in enumerate(members):
+                coords[i] = base_coords
+                coords[i, :nat] = frag.coords
+            w = np.array([w for _f, w in members])
+
+            def group_energy(theta, coords_b, spec=spec, settings=settings):
+                frag_t = spec.rebuild(theta)
+
+                def one(c):
+                    e, _ = single_point_energy(
+                        c, frag_t._replace(coords=c), settings
+                    )
+                    return e
+
+                return jax.vmap(one)(coords_b)
+
+            self.groups.append(
+                {
+                    "fn": jax.jit(jax.value_and_grad(
+                        lambda th, cb, wb, fn=group_energy: (fn(th, cb) * wb).sum()
+                    )),
+                    "coords": jnp.asarray(coords),
+                    "w": jnp.asarray(w),
+                    "count": len(members),
+                }
+            )
+
+    def value_and_grad(self, theta):
+        total = 0.0
+        grad_flat = None
+        for g in self.groups:
+            val, grad = g["fn"](theta, g["coords"], g["w"])
+            total += float(val)
+            gf, _ = ravel_pytree(grad)
+            grad_flat = gf if grad_flat is None else grad_flat + gf
+        return total, np.asarray(grad_flat)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--targets", default=",".join(GFN1_TARGETS))
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--prior", type=float, default=1e-4,
+                    help="prior anchoring weight (Ha per unit param move)")
+    ap.add_argument("--lm", type=float, default=1e-6, help="LM damping")
+    ap.add_argument("--out", default=os.path.join(HERE, "fitted_gfn1.json"))
+    args = ap.parse_args()
+
+    settings = settings_from_params("gfn1")
+    theta0 = theta_init("gfn1")
+    flat0, unravel = ravel_pytree(theta0)
+    n_params = flat0.shape[0]
+    print(f"fitting {n_params} parameters")
+
+    names = [n.strip() for n in args.targets.split(",") if n.strip()]
+    t0 = time.time()
+    targets = []
+    for n in names:
+        targets.append(TargetEval(n, settings))
+        print(f"  target {n}: {sum(g['count'] for g in targets[-1].groups)} "
+              f"fragments in {len(targets[-1].groups)} groups "
+              f"[{time.time()-t0:.0f}s]")
+
+    flat = np.asarray(flat0, dtype=float)
+    prior = np.asarray(flat0, dtype=float)
+    lm = args.lm
+
+    for it in range(args.iters):
+        theta = unravel(jnp.asarray(flat))
+        residuals, jac_rows = [], []
+        for tgt in targets:
+            val, grad = tgt.value_and_grad(theta)
+            residuals.append(val - tgt.expected)
+            jac_rows.append(grad)
+        r = np.array(residuals)
+        J = np.stack(jac_rows)
+        rmse = float(np.sqrt((r**2).mean()))
+        print(f"iter {it}: rmse={rmse:.3e}  max|r|={np.abs(r).max():.3e} "
+              f"[{time.time()-t0:.0f}s]")
+        for n, ri in zip(names, r):
+            print(f"    {n:<16} {ri:+.6e}")
+
+        # LM step with prior anchoring
+        A = J.T @ J + (args.prior + lm * np.abs(np.diag(J.T @ J)).max()) * np.eye(
+            n_params
+        )
+        b = J.T @ r + args.prior * (flat - prior)
+        step = np.linalg.solve(A, b)
+        flat = flat - step
+
+    theta = unravel(jnp.asarray(flat))
+    # final residuals
+    residuals = {}
+    for tgt in targets:
+        val, _ = tgt.value_and_grad(theta)
+        residuals[tgt.name] = val - tgt.expected
+    print("final:", {k: f"{v:+.3e}" for k, v in residuals.items()})
+
+    out = {
+        "elements": {
+            str(z): {k: np.asarray(v).tolist() for k, v in el.items()}
+            for z, el in theta["elements"].items()
+        },
+        "globals": {k: float(v) for k, v in theta["globals"].items()},
+        "residuals": residuals,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
