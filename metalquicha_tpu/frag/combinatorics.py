@@ -32,8 +32,13 @@ def enumerate_polymers(n_monomers: int, max_level: int) -> np.ndarray:
     """All k-subsets of monomers for k=1..max_level, padded with -1.
 
     Returns (F, max_level) int64 array ordered by level then lexicographic,
-    matching the reference's combine() enumeration order.
+    matching the reference's combine() enumeration order. Uses the C++ host
+    runtime when available.
     """
+    from .. import native
+
+    if native.available() and n_monomers > 0:
+        return native.enumerate_polymers(n_monomers, max_level)
     rows = []
     for k in range(1, max_level + 1):
         for combo in combinations(range(n_monomers), k):

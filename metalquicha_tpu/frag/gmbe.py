@@ -45,7 +45,15 @@ def enumerate_pie_terms(
 
     Returns (atom_sets, coefficients): list of sorted int arrays and an int
     array of accumulated PIE coefficients (zero-coefficient terms removed).
+    Uses the C++ host runtime when available.
     """
+    from .. import native
+
+    if native.available() and primaries:
+        return native.pie_enumerate(
+            [np.asarray(p, dtype=np.int64) for p in primaries],
+            max_depth=max_intersection_level,
+        )
     P = len(primaries)
     sets = [frozenset(int(a) for a in s) for s in primaries]
 

@@ -37,7 +37,12 @@ def mbe_weights(polymers: np.ndarray) -> np.ndarray:
 
     c_f = sum over fragments g in the family with g superseteq f of
     (-1)^(|g| - |f|). Requires (and validates) subset closure.
+    Uses the C++ host runtime when available.
     """
+    from .. import native
+
+    if native.available():
+        return native.mbe_weights(np.ascontiguousarray(polymers))
     lookup = build_lookup(polymers)
     F = polymers.shape[0]
     c = np.zeros(F, dtype=np.int64)
@@ -60,7 +65,14 @@ def mbe_deltas(polymers: np.ndarray, energies: np.ndarray) -> np.ndarray:
     """Per-fragment delta energies via bottom-up recurrence.
 
     delta_f = E_f - sum of deltas of all proper subsets (order-independent
-    because processing is by level)."""
+    because processing is by level). Uses the C++ host runtime when
+    available."""
+    from .. import native
+
+    if native.available():
+        return native.mbe_deltas(
+            np.ascontiguousarray(polymers), np.asarray(energies, dtype=float)
+        )
     lookup = build_lookup(polymers)
     levels = polymer_levels(polymers)
     F = polymers.shape[0]

@@ -223,7 +223,7 @@ def _assemble_fragment(
         distance=distance,
         monomer_indices=np.asarray(monomer_indices, dtype=np.int64),
     )
-    validate_min_distances(frag.coords)
+    validate_min_distances(frag.coords[: frag.n_real])
     return frag
 
 

@@ -121,4 +121,5 @@ def d3_energy(
     e = s6 * c6 / (r6 + damp**6) + s8 * c8 / (r8 + damp**8)
 
     pair_mask = atom_mask[:, None] * atom_mask[None, :] * (1.0 - jnp.eye(nat))
+    pair_mask = pair_mask * (r2 > 1e-10)  # skip coincident pairs (GMBE caps)
     return -0.5 * (e * pair_mask).sum()

@@ -94,6 +94,7 @@ def coordination_numbers(coords, rcov, atom_mask, steepness):
     cf = 1.0 / (1.0 + jnp.exp(-steepness * (r0 / r - 1.0)))
     pair_mask = atom_mask[:, None] * atom_mask[None, :]
     pair_mask = pair_mask * (1.0 - jnp.eye(coords.shape[0]))
+    pair_mask = pair_mask * (r > 1e-5)  # skip coincident pairs (GMBE caps)
     return (cf * pair_mask).sum(-1)
 
 
@@ -103,10 +104,14 @@ def pair_distances(coords):
 
 
 def repulsion_energy(coords, zeff, alpha, atom_mask, kexp, rexp):
-    """E_rep = sum_{A<B} ZA ZB / R^rexp * exp(-sqrt(aA aB) R^kexp)."""
+    """E_rep = sum_{A<B} ZA ZB / R^rexp * exp(-sqrt(aA aB) R^kexp).
+
+    Coincident pairs (r ~ 0, e.g. stacked GMBE caps) are skipped, matching
+    the tblite kernels' r ~ 0 guard."""
     n = coords.shape[0]
     r = pair_distances(coords)
     pair_mask = atom_mask[:, None] * atom_mask[None, :] * (1.0 - jnp.eye(n))
+    pair_mask = pair_mask * (r > 1e-5)
     zz = zeff[:, None] * zeff[None, :]
     ab = jnp.sqrt(alpha[:, None] * alpha[None, :])
     e = zz / r**rexp * jnp.exp(-ab * r**kexp)

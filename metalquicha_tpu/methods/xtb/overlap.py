@@ -92,6 +92,12 @@ def overlap_matrix(
     cc = prim_coeff[:, None, :, None] * prim_coeff[None, :, None, :]
     S = (prim_s * cc).sum(axis=(2, 3))
 
+    # Coincident atoms (e.g. two hydrogen caps replacing the same excluded
+    # atom in gappy GMBE intersection terms) are treated as NON-interacting,
+    # matching the tblite behavior of skipping r ~ 0 pairs.
+    coincident = (rab2 < 1e-10) & (ao_atom[:, None] != ao_atom[None, :])
+    S = jnp.where(coincident, 0.0, S)
+
     # Same-atom blocks are orthonormal by construction in the xTB basis
     # (angular orthogonality + explicit 1s/2s orthogonalization for H).
     if onsite_identity:
