@@ -112,6 +112,7 @@ def repulsion_energy(coords, zeff, alpha, atom_mask, kexp, rexp):
     r = pair_distances(coords)
     pair_mask = atom_mask[:, None] * atom_mask[None, :] * (1.0 - jnp.eye(n))
     pair_mask = pair_mask * (r > 1e-5)
+    r = jnp.maximum(r, 1e-5)  # masked pairs must stay finite (0*inf = NaN)
     zz = zeff[:, None] * zeff[None, :]
     ab = jnp.sqrt(alpha[:, None] * alpha[None, :])
     e = zz / r**rexp * jnp.exp(-ab * r**kexp)

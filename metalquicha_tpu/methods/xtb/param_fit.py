@@ -8,45 +8,46 @@ the GFN1/GFN2 element tables against the reference validation energies
 (inverse parameterization), and generally useful for refitting xTB to new
 data.
 
-theta layout (per fitted element, all jnp scalars/vectors):
-    levels (eV), slater, kcn (eV), shpoly, gam, lgam, gam3, alpha, zeff
-plus globals: ksp, kpol, ken.
+theta layout (per fitted element): levels (eV), slater, kcn (eV), shpoly,
+gam, lgam, gam3, alpha, zeff; plus globals (ksp, kpol, ken — not yet
+differentiated; they enter via static EngineSettings).
 
 Structure arrays (masks, indices, refocc, radii, D3 tables) stay fixed from
-the host-side builder; only theta-dependent arrays are rebuilt in jnp.
+the host-side builder; theta-dependent arrays are rebuilt with VECTORIZED
+gathers from small per-(element, shell) tables so the traced graph stays
+small even for 70+ atom fragments.
 """
 
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...constants import KB_HARTREE
 from . import params_gfn1
 from .basis import CARTESIAN_COMPONENTS, STO_NG
 from .batch import build_batch
 from .calculator import FragmentData, fragment_data_from_batch
-from .engine import EngineSettings
 from .params_gfn1 import EV2AU
 
 FITTED_Z = (1, 6, 7, 8)
+_Z_INDEX = {z: i for i, z in enumerate(FITTED_Z)}
+MAX_SHELLS = 2
 
-ELEMENT_FIELDS = (
-    "levels", "slater", "kcn", "shpoly", "lgam",  # per-shell vectors
-    "gam", "gam3", "alpha", "zeff",               # scalars
-)
-GLOBAL_FIELDS = ("ksp", "kpol", "ken")
+
+def _params_module(variant: str):
+    if variant == "gfn2":
+        from . import params_gfn2
+
+        return params_gfn2
+    return params_gfn1
 
 
 def theta_init(variant: str = "gfn1") -> dict:
     """Current parameter tables as a theta pytree."""
-    params = params_gfn1 if variant == "gfn1" else __import__(
-        "metalquicha_tpu.methods.xtb.params_gfn2", fromlist=["x"]
-    )
+    params = _params_module(variant)
     theta = {"elements": {}, "globals": {}}
     for z in FITTED_Z:
         rec = params.get_element(z)
@@ -70,11 +71,9 @@ def theta_init(variant: str = "gfn1") -> dict:
     return theta
 
 
-def theta_to_tables(theta: dict, variant: str = "gfn1") -> dict:
+def theta_to_tables(theta: dict, variant: str = "gfn1") -> None:
     """Write theta values back into the parameter module (host-side)."""
-    params = params_gfn1 if variant == "gfn1" else __import__(
-        "metalquicha_tpu.methods.xtb.params_gfn2", fromlist=["x"]
-    )
+    params = _params_module(variant)
     for z in FITTED_Z:
         rec = params.ELEMENTS[z]
         el = theta["elements"][z]
@@ -92,6 +91,25 @@ def theta_to_tables(theta: dict, variant: str = "gfn1") -> dict:
     params.GLOBALS.ken = float(theta["globals"]["ken"])
 
 
+def theta_from_overlay(path: str, variant: str = "gfn1") -> dict:
+    """Load a fitted theta from a tools/fit JSON output."""
+    import json
+
+    with open(path) as fh:
+        data = json.load(fh)
+    theta = theta_init(variant)
+    for z_str, el in data.get("elements", {}).items():
+        z = int(z_str)
+        if z not in theta["elements"]:
+            continue
+        for k, v in el.items():
+            theta["elements"][z][k] = jnp.asarray(v, dtype=jnp.float64)
+    for k, v in data.get("globals", {}).items():
+        if k in theta["globals"]:
+            theta["globals"][k] = jnp.asarray(v, dtype=jnp.float64)
+    return theta
+
+
 # ---------------------------------------------------------------------------
 # jnp basis rebuild (differentiable in the slater exponents)
 # ---------------------------------------------------------------------------
@@ -105,19 +123,21 @@ def _double_factorial(n: int) -> float:
     return out
 
 
-def _cgto_from_zeta(ngauss: int, n: int, l: int, zeta):
-    """STO-nG expansion with jnp zeta; returns (alphas, coeffs) normalized."""
-    a_tab, c_tab = STO_NG[(ngauss, n, l)]
-    a_tab = jnp.asarray(a_tab, dtype=zeta.dtype)
-    c_tab = jnp.asarray(c_tab, dtype=zeta.dtype)
-    alphas = a_tab * zeta * zeta
+def _self_overlap(alphas, coeffs, l: int):
     s = (
         2.0
         * jnp.sqrt(alphas[:, None] * alphas[None, :])
         / (alphas[:, None] + alphas[None, :])
     ) ** (l + 1.5)
-    norm = jnp.sqrt(c_tab @ s @ c_tab)
-    return alphas, c_tab / norm
+    return coeffs @ s @ coeffs
+
+
+def _cgto_from_zeta(ngauss: int, n: int, l: int, zeta):
+    a_tab, c_tab = STO_NG[(ngauss, n, l)]
+    a_tab = jnp.asarray(a_tab, dtype=zeta.dtype)
+    c_tab = jnp.asarray(c_tab, dtype=zeta.dtype)
+    alphas = a_tab * zeta * zeta
+    return alphas, c_tab / jnp.sqrt(_self_overlap(alphas, c_tab, l))
 
 
 def _ortho(alphas_v, coeffs_v, alphas_p, coeffs_p, l: int):
@@ -129,134 +149,157 @@ def _ortho(alphas_v, coeffs_v, alphas_p, coeffs_p, l: int):
     ovlp = coeffs_v @ s_vp @ coeffs_p
     alphas = jnp.concatenate([alphas_p, alphas_v])
     coeffs = jnp.concatenate([coeffs_p, -ovlp * coeffs_v])
-    s = (
-        2.0
-        * jnp.sqrt(alphas[:, None] * alphas[None, :])
-        / (alphas[:, None] + alphas[None, :])
-    ) ** (l + 1.5)
-    norm = jnp.sqrt(coeffs @ s @ coeffs)
-    return alphas, coeffs / norm
+    return alphas, coeffs / jnp.sqrt(_self_overlap(alphas, coeffs, l))
 
 
-def _prim_norm_jnp(alpha, lxyz):
-    l = sum(lxyz)
-    df = (
-        _double_factorial(2 * lxyz[0] - 1)
-        * _double_factorial(2 * lxyz[1] - 1)
-        * _double_factorial(2 * lxyz[2] - 1)
-    )
-    return (2.0 * alpha / math.pi) ** 0.75 * (4.0 * alpha) ** (l / 2.0) / math.sqrt(df)
+def _element_shell_tables(theta, variant: str, nprim: int, needed_z=None):
+    """Small per-(element, shell) tables rebuilt from theta.
+
+    Returns dict of jnp arrays indexed by flat (z_idx * MAX_SHELLS + slot):
+    level, kcn, shpoly, eta (Hartree), prim_alpha (nprim), prim_coeff
+    (nprim, radial part; cartesian norms applied per AO later), plus
+    per-element gam3/alpha/zeff tables indexed by z_idx.
+    """
+    params = _params_module(variant)
+    nz = len(FITTED_Z)
+    rows = nz * MAX_SHELLS
+    level = [jnp.asarray(100.0, jnp.float64)] * rows
+    kcn = [jnp.asarray(0.0, jnp.float64)] * rows
+    shpoly = [jnp.asarray(0.0, jnp.float64)] * rows
+    eta = [jnp.asarray(1.0, jnp.float64)] * rows
+    pa = [jnp.zeros(nprim)] * rows
+    pc = [jnp.zeros(nprim)] * rows
+
+    for z in FITTED_Z:
+        if needed_z is not None and z not in needed_z:
+            continue  # element absent from this fragment (and its nprim
+            # budget may be too small for e.g. H's orthogonalized 2s)
+        el = theta["elements"][z]
+        rec = params.get_element(z)
+        shells = []
+        for si, shell in enumerate(rec.shells):
+            n, l = params.shell_n_l(shell)
+            a, c = _cgto_from_zeta(rec.ngauss[si], n, l, el["slater"][si])
+            shells.append([a, c, l])
+        for i in range(len(shells)):
+            for j in range(i + 1, len(shells)):
+                if shells[i][2] == shells[j][2]:
+                    shells[j][0], shells[j][1] = _ortho(
+                        shells[i][0], shells[i][1],
+                        shells[j][0], shells[j][1], shells[i][2],
+                    )
+        for si in range(len(rec.shells)):
+            row = _Z_INDEX[z] * MAX_SHELLS + si
+            level[row] = el["levels"][si] * EV2AU
+            kcn[row] = el["kcn"][si] * EV2AU
+            shpoly[row] = el["shpoly"][si]
+            eta[row] = el["gam"] * el["lgam"][si]
+            a, c = shells[si][0], shells[si][1]
+            pa[row] = jnp.concatenate([a, jnp.zeros(nprim - a.shape[0])])
+            pc[row] = jnp.concatenate([c, jnp.zeros(nprim - c.shape[0])])
+
+    gam3 = jnp.stack([theta["elements"][z]["gam3"] for z in FITTED_Z])
+    alpha = jnp.stack([theta["elements"][z]["alpha"] for z in FITTED_Z])
+    zeff = jnp.stack([theta["elements"][z]["zeff"] for z in FITTED_Z])
+    return {
+        "level": jnp.stack(level),
+        "kcn": jnp.stack(kcn),
+        "shpoly": jnp.stack(shpoly),
+        "eta": jnp.stack(eta),
+        "prim_alpha": jnp.stack(pa),
+        "prim_coeff": jnp.stack(pc),
+        "gam3": gam3,
+        "alpha": alpha,
+        "zeff": zeff,
+    }
 
 
 class FragmentSpec:
-    """Static structure of one fragment + a theta->FragmentData rebuilder."""
+    """Static structure of one fragment + a theta->FragmentData rebuilder.
+
+    Coordinates are NOT baked in: energies are evaluated as
+    fn(theta, coords) so fragments sharing (numbers, charge, mult) vmap
+    over a coords batch with one compiled program.
+    """
 
     def __init__(self, numbers, coords, charge, mult, variant="gfn1",
                  pad_to=None):
         self.numbers = np.asarray(numbers, dtype=np.int64)
+        self.variant = variant
         self.base = fragment_data_from_batch(
             build_batch([(self.numbers, coords, charge, mult)],
                         variant=variant, pad_to=pad_to)
         )
         self.base = jax.tree.map(lambda x: x[0], self.base)
-        self.variant = variant
-        params = params_gfn1 if variant == "gfn1" else __import__(
-            "metalquicha_tpu.methods.xtb.params_gfn2", fromlist=["x"]
-        )
-        # static shell metadata per atom (for rebuild)
-        self.shell_meta = []  # list over real shells: (z, shell_idx, n, l, ngauss)
-        for z in self.numbers:
+        params = _params_module(variant)
+
+        nsh = self.base.sh_mask.shape[0]
+        nao = self.base.ao_mask.shape[0]
+        nat = self.base.atom_mask.shape[0]
+        self.nprim = int(self.base.prim_alpha.shape[1])
+
+        # static gather indices: shell -> (z_idx * MAX_SHELLS + slot)
+        sh_row = np.zeros(nsh, dtype=np.int64)
+        ao_row = np.zeros(nao, dtype=np.int64)
+        ao_l = np.zeros(nao, dtype=np.int64)
+        ao_df = np.ones(nao)
+        at_row = np.zeros(nat, dtype=np.int64)
+        isx = iao = 0
+        for ia, z in enumerate(self.numbers):
             rec = params.get_element(int(z))
+            at_row[ia] = _Z_INDEX[int(z)]
             for si, shell in enumerate(rec.shells):
-                n, l = params.shell_n_l(shell)
-                self.shell_meta.append((int(z), si, n, l, rec.ngauss[si]))
-        # static AO metadata: (real_shell_index, lxyz)
-        self.ao_meta = []
-        for shell_index, (z, si, n, l, ng) in enumerate(self.shell_meta):
-            for lxyz in CARTESIAN_COMPONENTS[l]:
-                self.ao_meta.append((shell_index, lxyz))
+                _n, l = params.shell_n_l(shell)
+                sh_row[isx] = _Z_INDEX[int(z)] * MAX_SHELLS + si
+                for lxyz in CARTESIAN_COMPONENTS[l]:
+                    ao_row[iao] = sh_row[isx]
+                    ao_l[iao] = l
+                    ao_df[iao] = (
+                        _double_factorial(2 * lxyz[0] - 1)
+                        * _double_factorial(2 * lxyz[1] - 1)
+                        * _double_factorial(2 * lxyz[2] - 1)
+                    )
+                    iao += 1
+                isx += 1
+        self.n_real_sh = isx
+        self.n_real_ao = iao
+        self.n_real_at = len(self.numbers)
+        self.sh_row = jnp.asarray(sh_row)
+        self.ao_row = jnp.asarray(ao_row)
+        self.ao_l = jnp.asarray(ao_l)
+        self.ao_df = jnp.asarray(ao_df)
+        self.at_row = jnp.asarray(at_row)
 
     def rebuild(self, theta) -> FragmentData:
         base = self.base
-        nsh = base.sh_mask.shape[0]
-        nao = base.ao_mask.shape[0]
-        nprim = base.prim_alpha.shape[1]
-        nat = base.atom_mask.shape[0]
+        tabs = _element_shell_tables(
+            theta, self.variant, self.nprim,
+            needed_z=set(int(z) for z in self.numbers),
+        )
+        sh_mask = base.sh_mask
+        at_mask = base.atom_mask
 
-        sh_level = [None] * len(self.shell_meta)
-        sh_kcn = [None] * len(self.shell_meta)
-        sh_poly = [None] * len(self.shell_meta)
-        sh_eta = [None] * len(self.shell_meta)
-        # per-element shell CGTOs (rebuild once per element)
-        cgto_cache = {}
-        for key in {(z,) for (z, *_rest) in self.shell_meta}:
-            z = key[0]
-            el = theta["elements"][z]
-            params = params_gfn1 if self.variant == "gfn1" else __import__(
-                "metalquicha_tpu.methods.xtb.params_gfn2", fromlist=["x"]
-            )
-            rec = params.get_element(z)
-            shells = []
-            for si, shell in enumerate(rec.shells):
-                n, l = params.shell_n_l(shell)
-                a, c = _cgto_from_zeta(rec.ngauss[si], n, l, el["slater"][si])
-                shells.append([a, c, l])
-            # orthogonalize same-l pairs (H 2s vs 1s)
-            for i in range(len(shells)):
-                for j in range(i + 1, len(shells)):
-                    if shells[i][2] == shells[j][2]:
-                        aj, cj = _ortho(
-                            shells[i][0], shells[i][1],
-                            shells[j][0], shells[j][1], shells[i][2],
-                        )
-                        shells[j][0], shells[j][1] = aj, cj
-            cgto_cache[z] = shells
+        sh_level = jnp.where(sh_mask > 0.5, tabs["level"][self.sh_row], 100.0)
+        sh_kcn = jnp.where(sh_mask > 0.5, tabs["kcn"][self.sh_row], 0.0)
+        sh_poly = jnp.where(sh_mask > 0.5, tabs["shpoly"][self.sh_row], 0.0)
+        sh_eta = jnp.where(sh_mask > 0.5, tabs["eta"][self.sh_row], 1.0)
 
-        for k, (z, si, n, l, ng) in enumerate(self.shell_meta):
-            el = theta["elements"][z]
-            sh_level[k] = el["levels"][si] * EV2AU
-            sh_kcn[k] = el["kcn"][si] * EV2AU
-            sh_poly[k] = el["shpoly"][si]
-            sh_eta[k] = el["gam"] * el["lgam"][si]
+        # (nao, nprim) primitive tables with per-AO cartesian norms
+        a = tabs["prim_alpha"][self.ao_row]
+        c = tabs["prim_coeff"][self.ao_row]
+        l = self.ao_l[:, None].astype(a.dtype)
+        norm = (
+            (2.0 * a / math.pi) ** 0.75
+            * (4.0 * a) ** (l / 2.0)
+            / jnp.sqrt(self.ao_df)[:, None]
+        )
+        mask_ao = (base.ao_mask > 0.5)[:, None] & (a > 0)
+        prim_alpha = jnp.where(mask_ao, a, 0.0)
+        prim_coeff = jnp.where(mask_ao, c * norm, 0.0)
 
-        def padvec(vals, n, fill):
-            arr = jnp.stack(vals) if vals else jnp.zeros(0)
-            return jnp.concatenate(
-                [arr, jnp.full(n - len(vals), fill, dtype=base.coords.dtype)]
-            )
-
-        sh_level = padvec(sh_level, nsh, 100.0)
-        sh_kcn = padvec(sh_kcn, nsh, 0.0)
-        sh_poly = padvec(sh_poly, nsh, 0.0)
-        sh_eta = padvec(sh_eta, nsh, 1.0)
-
-        # AO primitive tables
-        rows_a, rows_c = [], []
-        for shell_index, lxyz in self.ao_meta:
-            z, si, n, l, ng = self.shell_meta[shell_index]
-            a, c = cgto_cache[z][si][0], cgto_cache[z][si][1]
-            norms = jnp.stack([_prim_norm_jnp(ai, lxyz) for ai in a])
-            a_row = jnp.concatenate(
-                [a, jnp.zeros(nprim - a.shape[0], dtype=a.dtype)]
-            )
-            c_row = jnp.concatenate(
-                [c * norms, jnp.zeros(nprim - a.shape[0], dtype=a.dtype)]
-            )
-            rows_a.append(a_row)
-            rows_c.append(c_row)
-        prim_alpha = jnp.stack(rows_a + [jnp.zeros(nprim)] * (nao - len(rows_a)))
-        prim_coeff = jnp.stack(rows_c + [jnp.zeros(nprim)] * (nao - len(rows_c)))
-
-        # atom-level
-        at_gam3, at_alpha, at_zeff = [], [], []
-        for z in self.numbers:
-            el = theta["elements"][int(z)]
-            at_gam3.append(el["gam3"])
-            at_alpha.append(el["alpha"])
-            at_zeff.append(el["zeff"])
-        at_gam3 = padvec(at_gam3, nat, 0.0)
-        at_alpha = padvec(at_alpha, nat, 1.0)
-        at_zeff = padvec(at_zeff, nat, 0.0)
+        at_gam3 = jnp.where(at_mask > 0.5, tabs["gam3"][self.at_row], 0.0)
+        at_alpha = jnp.where(at_mask > 0.5, tabs["alpha"][self.at_row], 1.0)
+        at_zeff = jnp.where(at_mask > 0.5, tabs["zeff"][self.at_row], 0.0)
 
         return base._replace(
             sh_level=sh_level,
@@ -269,24 +312,3 @@ class FragmentSpec:
             at_alpha=at_alpha,
             at_zeff=at_zeff,
         )
-
-
-def make_settings(theta_globals, base: EngineSettings) -> EngineSettings:
-    """EngineSettings with theta-dependent K factors (still static floats
-    inside one evaluation; jax.jacrev differentiates through jnp.asarray of
-    the kll tuple because h0_matrix consumes jnp arrays)."""
-    return base
-
-
-def energy_fn(spec: FragmentSpec, settings: EngineSettings):
-    """Returns E(theta) for one fragment spec (differentiable)."""
-    from .calculator import single_point_energy
-
-    def fn(theta):
-        frag = spec.rebuild(theta)
-        # globals enter via settings.kll — rebuild as jnp inside h0 by
-        # patching the arrays the engine consumes
-        e, _aux = single_point_energy(frag.coords, frag, settings)
-        return e
-
-    return fn

@@ -70,3 +70,11 @@ def load_overlay(path: str) -> None:
             object.__setattr__(
                 rec, key, tuple(val) if isinstance(val, list) else val
             )
+
+
+# Auto-load fitted parameter overlay if present (written by tools/fit_*.py).
+import os as _os
+
+_OVERLAY_PATH = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "data", "gfn2_fitted.json")
+if _os.path.exists(_OVERLAY_PATH):
+    load_overlay(_OVERLAY_PATH)

