@@ -133,7 +133,14 @@ def _solv_gamma(coords, frag: FragmentData, solvation):
 
 def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
                       solvation=None):
-    """Run the (non-differentiated) SCC to get converged shell charges."""
+    """Run the (non-differentiated) SCC to get converged shell charges.
+
+    ALL inputs are stop-gradient'ed so the iteration contributes nothing to
+    any autodiff pass (coords OR parameter derivatives) — the variational
+    functional downstream carries the exact derivatives. This also lets the
+    tracer prune the scan's backward graph entirely (compile-time win).
+    """
+    frag = jax.tree.map(jax.lax.stop_gradient, frag)
     c = jax.lax.stop_gradient(coords)
     S = overlap_matrix(c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff)
     cn = coordination_numbers(c, frag.at_rcov, frag.atom_mask, settings.kcn_steep)

@@ -67,7 +67,11 @@ GFN1_TARGETS = {
     "gly10_mbe": ("gly10.json", -143.3014637669),
     "gmbe_gly3": ("overlapping_gly3.json", -47.019271892),
     "gmbe_decane": ("nlevel_3_ov_decane.json", -33.050613974),
+    "gly3_unfrag": ("hess_gly3_serial.json", -47.0179834905979),
 }
+
+#: residual weights (down-weight targets with known semantics uncertainty)
+TARGET_WEIGHTS = {"gmbe_decane": 0.2}
 
 
 def _bucket(n):
@@ -86,7 +90,7 @@ def fragments_and_weights(name: str):
     drv = config_to_driver(cfg)
     _name0, sg = config_to_system_geometries(cfg)[0]
 
-    if drv.nlevel == 0 or name in ("prism_unfrag", "gly10_unfrag"):
+    if drv.nlevel == 0 or name in ("prism_unfrag", "gly10_unfrag", "gly3_unfrag"):
         sg1 = sg.as_single_monomer() if sg.n_monomers != 1 else sg
         return [build_fragment_from_indices(sg1, [0])], np.array([1.0])
 
@@ -204,31 +208,47 @@ def main() -> int:
     flat = np.asarray(flat0, dtype=float)
     prior = np.asarray(flat0, dtype=float)
     lm = args.lm
+    tw = np.array([TARGET_WEIGHTS.get(n, 1.0) for n in names])
 
-    for it in range(args.iters):
-        theta = unravel(jnp.asarray(flat))
+    def eval_all(flat_vec):
+        theta = unravel(jnp.asarray(flat_vec))
         residuals, jac_rows = [], []
         for tgt in targets:
             val, grad = tgt.value_and_grad(theta)
             residuals.append(val - tgt.expected)
             jac_rows.append(grad)
-        r = np.array(residuals)
-        J = np.stack(jac_rows)
-        rmse = float(np.sqrt((r**2).mean()))
-        print(f"iter {it}: rmse={rmse:.3e}  max|r|={np.abs(r).max():.3e} "
-              f"[{time.time()-t0:.0f}s]")
+        return np.array(residuals), np.stack(jac_rows)
+
+    r, J = eval_all(flat)
+    best = (float(np.sqrt(((tw * r) ** 2).mean())), flat.copy(), r.copy())
+
+    for it in range(args.iters):
+        rmse_w = float(np.sqrt(((tw * r) ** 2).mean()))
+        print(f"iter {it}: wrmse={rmse_w:.3e}  max|r|={np.abs(r).max():.3e} "
+              f"lm={lm:.1e} [{time.time()-t0:.0f}s]")
         for n, ri in zip(names, r):
             print(f"    {n:<16} {ri:+.6e}")
 
-        # LM step with prior anchoring
-        A = J.T @ J + (args.prior + lm * np.abs(np.diag(J.T @ J)).max()) * np.eye(
-            n_params
-        )
-        b = J.T @ r + args.prior * (flat - prior)
+        Jw = tw[:, None] * J
+        rw = tw * r
+        A = Jw.T @ Jw + (
+            args.prior + lm * np.abs(np.diag(Jw.T @ Jw)).max()
+        ) * np.eye(n_params)
+        b = Jw.T @ rw + args.prior * (flat - prior)
         step = np.linalg.solve(A, b)
-        flat = flat - step
+        flat_new = flat - step
+        r_new, J_new = eval_all(flat_new)
+        rmse_new = float(np.sqrt(((tw * r_new) ** 2).mean()))
+        if rmse_new < rmse_w:
+            flat, r, J = flat_new, r_new, J_new
+            lm = max(lm * 0.3, 1e-10)
+            if rmse_new < best[0]:
+                best = (rmse_new, flat.copy(), r.copy())
+        else:
+            lm = min(lm * 8.0, 1e2)  # reject step, increase damping
 
-    theta = unravel(jnp.asarray(flat))
+    print(f"best wrmse={best[0]:.3e}")
+    theta = unravel(jnp.asarray(best[1]))
     # final residuals
     residuals = {}
     for tgt in targets:
