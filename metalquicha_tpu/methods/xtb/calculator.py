@@ -68,6 +68,7 @@ class FragmentData(NamedTuple):
     d3_r4r2: jnp.ndarray
     solv_rvdw: jnp.ndarray
     solv_sx: jnp.ndarray
+    solv_scalars: jnp.ndarray
 
 
 def fragment_data_from_batch(
@@ -78,9 +79,13 @@ def fragment_data_from_batch(
         solv = [solvation.host_tables(batch.numbers[b]) for b in range(batch.n_fragments)]
         solv_rvdw = np.stack([t["solv_rvdw"] for t in solv])
         solv_sx = np.stack([t["solv_sx"] for t in solv])
+        solv_scalars = np.tile(
+            solvation.default_scalars(), (batch.n_fragments, 1)
+        )
     else:
         solv_rvdw = np.zeros_like(batch.at_rcov)
         solv_sx = np.zeros_like(batch.at_rcov)
+        solv_scalars = np.zeros((batch.n_fragments, 4))
 
     def f(x):
         x = np.asarray(x)
@@ -120,6 +125,7 @@ def fragment_data_from_batch(
         d3_r4r2=f(np.stack([t["r4r2"] for t in d3])),
         solv_rvdw=f(solv_rvdw),
         solv_sx=f(solv_sx),
+        solv_scalars=f(solv_scalars),
     )
 
 
@@ -127,7 +133,8 @@ def _solv_gamma(coords, frag: FragmentData, solvation):
     if solvation is None:
         return None
     return solvation.gamma_atoms(
-        coords, frag.solv_rvdw, frag.solv_sx, frag.atom_mask
+        coords, frag.solv_rvdw, frag.solv_sx, frag.atom_mask,
+        scalars=frag.solv_scalars,
     )
 
 

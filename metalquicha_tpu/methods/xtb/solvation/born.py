@@ -70,11 +70,17 @@ class BornSolvation:
 
     # ---- engine-side (jnp, differentiable) --------------------------------
 
-    def born_radii(self, coords, rvdw, sx, atom_mask):
+    def default_scalars(self):
+        """[rho_offset, alpb_alpha, unused, unused] (Bohr / dimensionless)."""
+        return np.array([RHO_OFFSET, ALPB_ALPHA, 0.0, 0.0])
+
+    def born_radii(self, coords, rvdw, sx, atom_mask, rho_offset=None):
         """OBC Born radii (nat,) in Bohr; padded atoms get radius 1."""
+        if rho_offset is None:
+            rho_offset = RHO_OFFSET
         nat = coords.shape[0]
         rho = jnp.where(rvdw > 0, rvdw, 1.0)
-        rho_t = rho - RHO_OFFSET
+        rho_t = rho - rho_offset
         diff = coords[:, None, :] - coords[None, :, :]
         r = jnp.sqrt((diff**2).sum(-1) + jnp.eye(nat))
 
@@ -114,10 +120,15 @@ class BornSolvation:
         a_det = jnp.exp(jnp.log(axes + r_eff).mean())
         return a_det
 
-    def gamma_atoms(self, coords, rvdw, sx, atom_mask):
-        """Atom-level solvation kernel: E_solv = 1/2 q^T Gamma q."""
+    def gamma_atoms(self, coords, rvdw, sx, atom_mask, scalars=None):
+        """Atom-level solvation kernel: E_solv = 1/2 q^T Gamma q.
+
+        scalars: optional traced [rho_offset, alpb_alpha, ...] so parameter
+        fits run through one compiled program."""
+        rho_offset = scalars[0] if scalars is not None else RHO_OFFSET
+        alpb_alpha = scalars[1] if scalars is not None else ALPB_ALPHA
         nat = coords.shape[0]
-        a = self.born_radii(coords, rvdw, sx, atom_mask)
+        a = self.born_radii(coords, rvdw, sx, atom_mask, rho_offset)
         diff = coords[:, None, :] - coords[None, :, :]
         r2 = (diff**2).sum(-1)
         aab = a[:, None] * a[None, :]
@@ -126,9 +137,9 @@ class BornSolvation:
         eps = self.dielectric
         if self.alpb:
             beta = 1.0 / eps
-            keps = -(1.0 - 1.0 / eps) / (1.0 + ALPB_ALPHA * beta)
+            keps = -(1.0 - 1.0 / eps) / (1.0 + alpb_alpha * beta)
             a_det = self.electrostatic_size(coords, rvdw, atom_mask)
-            kernel = 1.0 / f_gb + ALPB_ALPHA * beta / a_det
+            kernel = 1.0 / f_gb + alpb_alpha * beta / a_det
         else:
             keps = -(1.0 - 1.0 / eps)
             kernel = 1.0 / f_gb

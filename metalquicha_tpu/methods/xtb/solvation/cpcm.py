@@ -54,7 +54,13 @@ class CpcmSolvation:
                 rvdw[i] = VDW_RADII_A[z] * ANGSTROM_TO_BOHR * self.rscale
         return {"solv_rvdw": rvdw, "solv_sx": np.zeros(nat)}
 
-    def gamma_atoms(self, coords, rvdw, sx, atom_mask):
+    def default_scalars(self):
+        """[cosmo_x, self_interaction_zeta, unused, unused]."""
+        return np.array([COSMO_X, SELF_INTERACTION, 0.0, 0.0])
+
+    def gamma_atoms(self, coords, rvdw, sx, atom_mask, scalars=None):
+        cosmo_x = scalars[0] if scalars is not None else COSMO_X
+        zeta = scalars[1] if scalars is not None else SELF_INTERACTION
         nat = coords.shape[0]
         nang = self.nang
         unit = jnp.asarray(fibonacci_sphere(nang), dtype=coords.dtype)
@@ -85,7 +91,7 @@ class CpcmSolvation:
             pts_flat[:, None, :] - pts_flat[None, :, :], axis=-1
         ) + jnp.eye(npts)
         A = 1.0 / dpp
-        a_kk = SELF_INTERACTION * jnp.sqrt(
+        a_kk = zeta * jnp.sqrt(
             4.0 * jnp.pi / jnp.maximum(area_flat, 1e-8)
         )
         A = A * (1.0 - jnp.eye(npts)) + jnp.diag(a_kk)
@@ -98,7 +104,7 @@ class CpcmSolvation:
         B = B * atom_mask[None, :]
 
         eps = self.dielectric
-        f = (eps - 1.0) / (eps + COSMO_X)
+        f = (eps - 1.0) / (eps + cosmo_x)
         AinvB = jnp.linalg.solve(A, B)
         gamma = -f * (B.T @ AinvB)
         gamma = 0.5 * (gamma + gamma.T)

@@ -188,10 +188,21 @@ def main() -> int:
                     help="prior anchoring weight (Ha per unit param move)")
     ap.add_argument("--lm", type=float, default=1e-6, help="LM damping")
     ap.add_argument("--out", default=os.path.join(HERE, "fitted_gfn1.json"))
+    ap.add_argument("--seed-from", default=None,
+                    help="warm-start theta from a previous fit JSON")
+    ap.add_argument("--decane-weight", type=float, default=None)
     args = ap.parse_args()
 
+    if args.decane_weight is not None:
+        TARGET_WEIGHTS["gmbe_decane"] = args.decane_weight
+
     settings = settings_from_params("gfn1")
-    theta0 = theta_init("gfn1")
+    if args.seed_from:
+        from metalquicha_tpu.methods.xtb.param_fit import theta_from_overlay
+
+        theta0 = theta_from_overlay(args.seed_from, "gfn1")
+    else:
+        theta0 = theta_init("gfn1")
     flat0, unravel = ravel_pytree(theta0)
     n_params = flat0.shape[0]
     print(f"fitting {n_params} parameters")
@@ -245,7 +256,13 @@ def main() -> int:
             if rmse_new < best[0]:
                 best = (rmse_new, flat.copy(), r.copy())
         else:
-            lm = min(lm * 8.0, 1e2)  # reject step, increase damping
+            lm = min(lm * 5.0, 1e4)  # reject step, increase damping
+            if lm >= 1e4:
+                # stuck: jitter restart from the best point
+                rng = np.random.default_rng(it)
+                flat = best[1] + rng.normal(0, 1e-3, size=n_params)
+                r, J = eval_all(flat)
+                lm = 1e-4
 
     print(f"best wrmse={best[0]:.3e}")
     theta = unravel(jnp.asarray(best[1]))

@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Calibrate implicit solvation against the three reference solvation
+energies (hydronium in water: ALPB, GBSA, CPCM).
+
+The gas-phase GFN1 parameterization must be fitted first (fit_gfn1.py);
+solvation parameters then absorb the solvation free energy:
+    ALPB  -5.91221983940207
+    GBSA  -5.935225830899037
+    CPCM  -5.881430808516041
+ALPB and GBSA share the generalized-Born machinery (vdW radii, descreening,
+intrinsic-radius offset) and differ by the ALPB correction; CPCM fits its
+dielectric scaling and self-interaction.
+
+Usage: python tools/fit_solvation.py --iters 60 --out tools/fitted_solv.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
+from metalquicha_tpu.io.xyz import read_xyz_file
+from metalquicha_tpu.methods.xtb.calculator import XtbCalculator
+from metalquicha_tpu.methods.xtb.engine import settings_from_params
+from metalquicha_tpu.methods.xtb.solvation import born as born_mod
+from metalquicha_tpu.methods.xtb.solvation import cpcm as cpcm_mod
+from metalquicha_tpu.methods.xtb.solvation.born import BornSolvation
+from metalquicha_tpu.methods.xtb.solvation.cpcm import CpcmSolvation
+
+EXPECTED = {
+    "alpb": -5.91221983940207,
+    "gbsa": -5.935225830899037,
+    "cpcm": -5.881430808516041,
+}
+
+
+def build_eval():
+    """Three jitted energy functions (alpb/gbsa/cpcm) taking the dynamic
+    per-atom radii/descreening and scalar parameters — ONE compile each."""
+    import jax.numpy as jnp
+
+    from metalquicha_tpu.methods.xtb.calculator import (
+        fragment_data_from_batch,
+        single_point_energy,
+    )
+    from metalquicha_tpu.methods.xtb.batch import build_batch
+
+    geom = read_xyz_file(
+        os.path.join(REPO, "validation", "inputs", "sample_inputs", "h3op.xyz")
+    )
+    numbers = geom.numbers
+    frag_tuple = (numbers, geom.coords_angstrom * ANGSTROM_TO_BOHR, 1, 1)
+    settings = settings_from_params("gfn1")
+    base = fragment_data_from_batch(build_batch([frag_tuple]))
+    base = jax.tree.map(lambda x: x[0], base)
+    is_h = np.asarray(numbers) == 1
+
+    models = {
+        "alpb": BornSolvation(dielectric=80.2, alpb=True),
+        "gbsa": BornSolvation(dielectric=80.2, alpb=False),
+        "cpcm": CpcmSolvation(dielectric=80.2, nang=230),
+    }
+
+    jitted = {}
+    for name, model in models.items():
+        def e_of(rvdw, sx, scalars, model=model):
+            frag = base._replace(
+                solv_rvdw=rvdw, solv_sx=sx, solv_scalars=scalars
+            )
+            e, _ = single_point_energy(
+                frag.coords, frag, settings, solvation=model
+            )
+            return e
+
+        jitted[name] = jax.jit(e_of)
+
+    def energies(x):
+        rvdw = jnp.asarray(
+            np.where(is_h, x[0], x[1]) * ANGSTROM_TO_BOHR
+        )
+        sx = jnp.asarray(np.where(is_h, x[2], x[3]))
+        born_scalars = jnp.asarray(
+            [x[4] * ANGSTROM_TO_BOHR, x[5], 0.0, 0.0]
+        )
+        cpcm_scalars = jnp.asarray([x[6], x[7], 0.0, 0.0])
+        return {
+            "alpb": float(jitted["alpb"](rvdw, sx, born_scalars)),
+            "gbsa": float(jitted["gbsa"](rvdw, sx, born_scalars)),
+            "cpcm": float(jitted["cpcm"](rvdw, jnp.zeros_like(sx),
+                                          cpcm_scalars)),
+        }
+
+    return energies
+
+
+# parameter vector: [vdw_H, vdw_O, descreen_H, descreen_O, rho_offset_A,
+#                    alpb_alpha, cosmo_x, cpcm_zeta]
+X0 = np.array([1.20, 1.52, 0.85, 0.85, 0.09, 0.571412, 0.5, 1.07])
+LB = np.array([0.6, 0.9, 0.3, 0.3, 0.0, 0.0, 0.0, 0.5])
+UB = np.array([2.5, 2.8, 1.2, 1.2, 0.6, 2.0, 2.0, 2.5])
+
+
+def apply_params(x):
+    """Persist fitted values into the solvation modules (for production)."""
+    born_mod.VDW_RADII_A[1] = x[0]
+    born_mod.VDW_RADII_A[8] = x[1]
+    born_mod.DESCREEN[1] = x[2]
+    born_mod.DESCREEN[8] = x[3]
+    born_mod.RHO_OFFSET = x[4] * ANGSTROM_TO_BOHR
+    born_mod.ALPB_ALPHA = x[5]
+    cpcm_mod.COSMO_X = x[6]
+    cpcm_mod.SELF_INTERACTION = x[7]
+
+
+def residuals_fn(energies, nang=230):
+    def f(x):
+        e = energies(x)
+        return np.array([e[k] - EXPECTED[k] for k in ("alpb", "gbsa", "cpcm")])
+
+    return f
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--nang", type=int, default=230)
+    ap.add_argument("--out", default=os.path.join(HERE, "fitted_solv.json"))
+    args = ap.parse_args()
+
+    energies = build_eval()
+    f = residuals_fn(energies, args.nang)
+    t0 = time.time()
+    r0 = f(X0)
+    print("start residuals:", r0, f"[{time.time()-t0:.0f}s]")
+
+    from scipy.optimize import least_squares
+
+    res = least_squares(
+        f, X0, bounds=(LB, UB), diff_step=0.02, max_nfev=args.iters * 9,
+        verbose=2, x_scale="jac",
+    )
+    print("final residuals:", f(res.x))
+    names = ["vdw_H", "vdw_O", "descreen_H", "descreen_O", "rho_offset_A",
+             "alpb_alpha", "cosmo_x", "cpcm_zeta"]
+    out = dict(zip(names, res.x.tolist()))
+    out["residuals"] = dict(zip(EXPECTED, f(res.x).tolist()))
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print("wrote", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
