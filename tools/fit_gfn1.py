@@ -73,6 +73,17 @@ GFN1_TARGETS = {
 #: residual weights (down-weight targets with known semantics uncertainty)
 TARGET_WEIGHTS = {"gmbe_decane": 0.2}
 
+#: gradient-norm targets: name -> (energy-target providing the fragment set,
+#: expected norm). Residuals are |grad|-|grad|_ref; Jacobians are nested AD
+#: through the variational functional (the dq*/dtheta cross term is dropped
+#: by the stop-gradient — an approximation that only affects step quality,
+#: not residual correctness).
+GRADNORM_TARGETS = {
+    "h3o_gnorm": ("h3o", 0.034523358557187),
+    "prism_gnorm": ("prism_mbe", 0.0315774691),
+    "gly3ov_gnorm": ("gmbe_gly3", 0.140659014),
+}
+
 
 def _bucket(n):
     for b in (4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
@@ -112,6 +123,84 @@ def fragments_and_weights(name: str):
         build_fragment_from_indices(sg, row[row >= 0]) for row in polymers
     ]
     return frags, mbe_weights(polymers).astype(float)
+
+
+class GradNormTarget:
+    """|assembled system gradient| as a differentiable function of theta."""
+
+    def __init__(self, name: str, settings):
+        energy_name, expected = GRADNORM_TARGETS[name]
+        self.name = name
+        self.expected = expected
+        frags, weights = fragments_and_weights(energy_name)
+
+        # system size
+        json_path = os.path.join(INPUTS, GFN1_TARGETS[energy_name][0])
+        with open(json_path) as fh:
+            data = json.load(fh)
+        cfg = parse_mqc_string(emit_mqc(data, base_dir=INPUTS))
+        _n0, sg = config_to_system_geometries(cfg)[0]
+        N = sg.n_atoms
+
+        groups = defaultdict(list)
+        for frag, w in zip(frags, weights):
+            key = (
+                tuple(int(z) for z in frag.numbers),
+                int(frag.charge),
+                int(frag.multiplicity),
+            )
+            groups[key].append((frag, float(w)))
+
+        prepared = []
+        for key, members in groups.items():
+            rep = members[0][0]
+            nat = rep.n_total
+            pad = (_bucket(nat), 2 * _bucket(nat), int(2.5 * _bucket(nat)) + 1)
+            spec = FragmentSpec(
+                rep.numbers, rep.coords, rep.charge, rep.multiplicity,
+                pad_to=pad,
+            )
+            B = len(members)
+            coords = np.zeros((B, pad[0], 3))
+            gidx = np.full((B, pad[0]), N, dtype=np.int64)  # N = drop row
+            base_coords = np.asarray(spec.base.coords)
+            w = np.zeros(B)
+            for i, (frag, wi) in enumerate(members):
+                coords[i] = base_coords
+                coords[i, :nat] = frag.coords
+                rows = np.concatenate(
+                    [frag.local_to_global, frag.cap_replaces_atom]
+                ) if frag.n_caps else frag.local_to_global
+                gidx[i, : len(rows)] = rows
+                w[i] = wi
+            prepared.append(
+                (spec, jnp.asarray(coords), jnp.asarray(gidx), jnp.asarray(w))
+            )
+
+        def norm_fn(theta):
+            total = jnp.zeros((N + 1, 3))
+            for spec, coords_b, gidx_b, w_b in prepared:
+                frag_t = spec.rebuild(theta)
+
+                def e_of(c, frag_t=frag_t):
+                    e, _ = single_point_energy(
+                        c, frag_t._replace(coords=c), settings
+                    )
+                    return e
+
+                g = jax.vmap(jax.grad(e_of))(coords_b)  # (B, nat_pad, 3)
+                g = g * w_b[:, None, None]
+                total = total.at[gidx_b.reshape(-1)].add(
+                    g.reshape(-1, 3)
+                )
+            return jnp.sqrt((total[:N] ** 2).sum())
+
+        self._fn = jax.jit(jax.value_and_grad(norm_fn))
+
+    def value_and_grad(self, theta):
+        val, grad = self._fn(theta)
+        gf, _ = ravel_pytree(grad)
+        return float(val), np.asarray(gf)
 
 
 class TargetEval:
@@ -211,10 +300,15 @@ def main() -> int:
     t0 = time.time()
     targets = []
     for n in names:
-        targets.append(TargetEval(n, settings))
-        print(f"  target {n}: {sum(g['count'] for g in targets[-1].groups)} "
-              f"fragments in {len(targets[-1].groups)} groups "
-              f"[{time.time()-t0:.0f}s]")
+        if n in GRADNORM_TARGETS:
+            targets.append(GradNormTarget(n, settings))
+            print(f"  target {n}: gradient norm [{time.time()-t0:.0f}s]")
+        else:
+            targets.append(TargetEval(n, settings))
+            print(f"  target {n}: "
+                  f"{sum(g['count'] for g in targets[-1].groups)} "
+                  f"fragments in {len(targets[-1].groups)} groups "
+                  f"[{time.time()-t0:.0f}s]")
 
     flat = np.asarray(flat0, dtype=float)
     prior = np.asarray(flat0, dtype=float)
