@@ -29,6 +29,7 @@ from .engine import (
     h0_matrix,
     pair_distances,
     repulsion_energy,
+    scf_refine,
     scf_solve,
 )
 from .overlap import overlap_matrix
@@ -159,8 +160,13 @@ def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
 
 
 def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
-                        solvation=None):
+                        solvation=None, diff_scf_iters: int = 0):
     """Total GFN1 energy of one (padded) fragment; differentiable in coords.
+
+    diff_scf_iters > 0 re-refines the converged charges with that many
+    fully-traced fixed-point iterations, making q* itself differentiable
+    (needed for exact SECOND derivatives such as d|grad|/d(theta); first
+    derivatives are already exact through the variational functional).
 
     Returns (energy, aux) with aux = {charges, scf_residual, dipole}.
     """
@@ -168,6 +174,20 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     q_star, resid = _converge_charges(coords, frag, kt, settings, solvation)
 
     gamma_at = _solv_gamma(coords, frag, solvation)
+    if diff_scf_iters:
+        S = overlap_matrix(
+            coords, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha,
+            frag.prim_coeff,
+        )
+        cn = coordination_numbers(
+            coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep
+        )
+        H0 = h0_matrix(S, coords, frag, cn, settings)
+        gamma = gamma_matrix(coords, frag, settings)
+        q_star = scf_refine(
+            H0, S, gamma, frag, kt, settings, q_star, diff_scf_iters,
+            gamma_at,
+        )
     e_el, eps, f, entropy = electronic_energy(
         coords, q_star, frag, kt, settings, gamma_at
     )

@@ -349,6 +349,35 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
     return q, resid
 
 
+def scf_refine(H0, S, gamma, batch, kt, settings: EngineSettings, q0,
+               n_iter: int, gamma_at=None):
+    """Differentiable fixed-point refinement from a converged warm start.
+
+    Plain damped iterations (contraction around the converged point), fully
+    traced — gives q*(theta, R) with exact derivatives via truncated
+    backprop, which converges geometrically since |q0 - q*| is already at
+    solver tolerance. Used for second-derivative quantities (e.g. parameter
+    Jacobians of gradient norms) where the stationarity trick is not enough.
+    """
+    L = jnp.linalg.cholesky(S)
+
+    def step(q, _):
+        F = _fock(H0, S, q, gamma, batch, settings, gamma_at)
+        eps, C = _general_eigh(F, L)
+        f, _ = occupations(
+            eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,
+            settings.fixed_occupations,
+        )
+        f = jax.lax.stop_gradient(f)  # exact for gapped systems
+        P = (C * f[None, :]) @ C.T
+        n_sh = _shell_populations(P, S, batch)
+        q_new = (batch.sh_refocc - n_sh) * batch.sh_mask
+        return q + 0.5 * (q_new - q), None
+
+    q, _ = jax.lax.scan(step, q0, None, length=n_iter)
+    return q
+
+
 def electronic_energy(
     coords, q_star, batch, kt, settings: EngineSettings, gamma_at=None
 ):

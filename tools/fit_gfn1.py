@@ -70,6 +70,14 @@ GFN1_TARGETS = {
     "gly3_unfrag": ("hess_gly3_serial.json", -47.0179834905979),
 }
 
+#: GFN2 targets (single upstream GFN2 case)
+GFN2_TARGETS = {
+    "w1_energy": ("w1_vib_therm.json", -5.07054435383808),
+}
+GFN2_GRADNORM_TARGETS = {
+    "w1_gnorm": ("w1_energy", 0.00018502438172),
+}
+
 #: residual weights (down-weight targets with known semantics uncertainty)
 TARGET_WEIGHTS = {"gmbe_decane": 0.2}
 
@@ -92,9 +100,14 @@ def _bucket(n):
     return n
 
 
+TARGETS = GFN1_TARGETS
+GN_TARGETS = GRADNORM_TARGETS
+VARIANT = "gfn1"
+
+
 def fragments_and_weights(name: str):
     """(fragments, weights) whose weighted energy sum is the target."""
-    json_path = os.path.join(INPUTS, GFN1_TARGETS[name][0])
+    json_path = os.path.join(INPUTS, TARGETS[name][0])
     with open(json_path) as fh:
         data = json.load(fh)
     cfg = parse_mqc_string(emit_mqc(data, base_dir=INPUTS))
@@ -129,13 +142,13 @@ class GradNormTarget:
     """|assembled system gradient| as a differentiable function of theta."""
 
     def __init__(self, name: str, settings):
-        energy_name, expected = GRADNORM_TARGETS[name]
+        energy_name, expected = GN_TARGETS[name]
         self.name = name
         self.expected = expected
         frags, weights = fragments_and_weights(energy_name)
 
         # system size
-        json_path = os.path.join(INPUTS, GFN1_TARGETS[energy_name][0])
+        json_path = os.path.join(INPUTS, TARGETS[energy_name][0])
         with open(json_path) as fh:
             data = json.load(fh)
         cfg = parse_mqc_string(emit_mqc(data, base_dir=INPUTS))
@@ -158,7 +171,7 @@ class GradNormTarget:
             pad = (_bucket(nat), 2 * _bucket(nat), int(2.5 * _bucket(nat)) + 1)
             spec = FragmentSpec(
                 rep.numbers, rep.coords, rep.charge, rep.multiplicity,
-                pad_to=pad,
+                pad_to=pad, variant=VARIANT,
             )
             B = len(members)
             coords = np.zeros((B, pad[0], 3))
@@ -184,7 +197,8 @@ class GradNormTarget:
 
                 def e_of(c, frag_t=frag_t):
                     e, _ = single_point_energy(
-                        c, frag_t._replace(coords=c), settings
+                        c, frag_t._replace(coords=c), settings,
+                        diff_scf_iters=8,
                     )
                     return e
 
@@ -208,7 +222,7 @@ class TargetEval:
 
     def __init__(self, name: str, settings):
         self.name = name
-        self.expected = GFN1_TARGETS[name][1]
+        self.expected = TARGETS[name][1]
         frags, weights = fragments_and_weights(name)
 
         groups = defaultdict(list)
@@ -227,7 +241,7 @@ class TargetEval:
             pad = (_bucket(nat), 2 * _bucket(nat), int(2.5 * _bucket(nat)) + 1)
             spec = FragmentSpec(
                 rep.numbers, rep.coords, rep.charge, rep.multiplicity,
-                pad_to=pad,
+                pad_to=pad, variant=VARIANT,
             )
             coords = np.zeros((len(members), pad[0], 3))
             base_coords = np.asarray(spec.base.coords)
@@ -270,8 +284,10 @@ class TargetEval:
 
 
 def main() -> int:
+    global TARGETS, GN_TARGETS, VARIANT
     ap = argparse.ArgumentParser()
-    ap.add_argument("--targets", default=",".join(GFN1_TARGETS))
+    ap.add_argument("--variant", default="gfn1", choices=("gfn1", "gfn2"))
+    ap.add_argument("--targets", default=None)
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--prior", type=float, default=1e-4,
                     help="prior anchoring weight (Ha per unit param move)")
@@ -285,13 +301,18 @@ def main() -> int:
     if args.decane_weight is not None:
         TARGET_WEIGHTS["gmbe_decane"] = args.decane_weight
 
-    settings = settings_from_params("gfn1")
+    if args.variant == "gfn2":
+        TARGETS, GN_TARGETS, VARIANT = GFN2_TARGETS, GFN2_GRADNORM_TARGETS, "gfn2"
+    if args.targets is None:
+        args.targets = ",".join(list(TARGETS) + list(GN_TARGETS))
+
+    settings = settings_from_params(VARIANT)
     if args.seed_from:
         from metalquicha_tpu.methods.xtb.param_fit import theta_from_overlay
 
-        theta0 = theta_from_overlay(args.seed_from, "gfn1")
+        theta0 = theta_from_overlay(args.seed_from, VARIANT)
     else:
-        theta0 = theta_init("gfn1")
+        theta0 = theta_init(VARIANT)
     flat0, unravel = ravel_pytree(theta0)
     n_params = flat0.shape[0]
     print(f"fitting {n_params} parameters")
@@ -300,7 +321,7 @@ def main() -> int:
     t0 = time.time()
     targets = []
     for n in names:
-        if n in GRADNORM_TARGETS:
+        if n in GN_TARGETS:
             targets.append(GradNormTarget(n, settings))
             print(f"  target {n}: gradient norm [{time.time()-t0:.0f}s]")
         else:
