@@ -147,7 +147,11 @@ def h0_matrix(S, coords, batch, cn, settings: EngineSettings):
 
     same_atom = batch.ao_atom[:, None] == batch.ao_atom[None, :]
     H = jnp.where(same_atom, 0.0, H)
-    diag = jnp.where(batch.ao_mask > 0.5, ao_level, PAD_LEVEL)
+    # padded AOs get DISTINCT high levels: exact degeneracy would NaN the
+    # eigenvector backward pass (1/(eps_i - eps_j)) in differentiable-SCF
+    nao = batch.ao_mask.shape[0]
+    pad_levels = PAD_LEVEL + 0.1 * jnp.arange(nao, dtype=H.dtype)
+    diag = jnp.where(batch.ao_mask > 0.5, ao_level, pad_levels)
     H = H + jnp.diag(diag)
     return H
 
