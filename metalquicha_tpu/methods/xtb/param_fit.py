@@ -48,7 +48,7 @@ def _params_module(variant: str):
 def theta_init(variant: str = "gfn1") -> dict:
     """Current parameter tables as a theta pytree."""
     params = _params_module(variant)
-    theta = {"elements": {}, "globals": {}}
+    theta = {"elements": {}}
     for z in FITTED_Z:
         rec = params.get_element(z)
         theta["elements"][z] = {
@@ -62,12 +62,9 @@ def theta_init(variant: str = "gfn1") -> dict:
             "alpha": jnp.asarray(rec.alpha, dtype=jnp.float64),
             "zeff": jnp.asarray(rec.zeff, dtype=jnp.float64),
         }
-    g = params.GLOBALS
-    theta["globals"] = {
-        "ksp": jnp.asarray(g.ksp, dtype=jnp.float64),
-        "kpol": jnp.asarray(g.kpol, dtype=jnp.float64),
-        "ken": jnp.asarray(g.ken, dtype=jnp.float64),
-    }
+    # NOTE: global K factors are static EngineSettings, not part of theta —
+    # including them as inert leaves lets the optimizer drift them with zero
+    # gradient, which then corrupts settings when the overlay is applied.
     return theta
 
 
@@ -86,9 +83,7 @@ def theta_to_tables(theta: dict, variant: str = "gfn1") -> None:
         object.__setattr__(rec, "gam3", float(el["gam3"]))
         object.__setattr__(rec, "alpha", float(el["alpha"]))
         object.__setattr__(rec, "zeff", float(el["zeff"]))
-    params.GLOBALS.ksp = float(theta["globals"]["ksp"])
-    params.GLOBALS.kpol = float(theta["globals"]["kpol"])
-    params.GLOBALS.ken = float(theta["globals"]["ken"])
+
 
 
 def theta_from_overlay(path: str, variant: str = "gfn1") -> dict:
@@ -104,9 +99,6 @@ def theta_from_overlay(path: str, variant: str = "gfn1") -> dict:
             continue
         for k, v in el.items():
             theta["elements"][z][k] = jnp.asarray(v, dtype=jnp.float64)
-    for k, v in data.get("globals", {}).items():
-        if k in theta["globals"]:
-            theta["globals"][k] = jnp.asarray(v, dtype=jnp.float64)
     return theta
 
 

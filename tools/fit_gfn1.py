@@ -393,7 +393,6 @@ def main() -> int:
             str(z): {k: np.asarray(v).tolist() for k, v in el.items()}
             for z, el in theta["elements"].items()
         },
-        "globals": {k: float(v) for k, v in theta["globals"].items()},
         "residuals": residuals,
     }
     with open(args.out, "w") as fh:
