@@ -46,11 +46,23 @@ def _params_module(variant: str):
 
 
 def theta_init(variant: str = "gfn1") -> dict:
-    """Current parameter tables as a theta pytree."""
+    """Current parameter tables as a theta pytree.
+
+    Includes the uncertain tabulated data (electronegativity, H0 polynomial
+    radii, CN covalent radii, D3 r4r2 and diagonal reference C6) so the
+    inverse parameterization can absorb table-reconstruction error.
+    """
+    from ...constants import BOHR_TO_ANGSTROM
+    from .batch import element_basis
+    from .dispersion_d3 import MAX_REFS, R4R2, REF_C6_DIAG
+
     params = _params_module(variant)
     theta = {"elements": {}}
     for z in FITTED_Z:
         rec = params.get_element(z)
+        eb = element_basis(z, variant)
+        c6 = np.zeros(MAX_REFS)
+        c6[: len(REF_C6_DIAG[z])] = REF_C6_DIAG[z]
         theta["elements"][z] = {
             "levels": jnp.asarray(rec.levels, dtype=jnp.float64),
             "slater": jnp.asarray(rec.slater, dtype=jnp.float64),
@@ -61,6 +73,11 @@ def theta_init(variant: str = "gfn1") -> dict:
             "gam3": jnp.asarray(rec.gam3, dtype=jnp.float64),
             "alpha": jnp.asarray(rec.alpha, dtype=jnp.float64),
             "zeff": jnp.asarray(rec.zeff, dtype=jnp.float64),
+            "en": jnp.asarray(rec.en, dtype=jnp.float64),
+            "rad": jnp.asarray(eb.rad_bohr, dtype=jnp.float64),
+            "rcov": jnp.asarray(eb.rcov_bohr, dtype=jnp.float64),
+            "r4r2": jnp.asarray(R4R2[z], dtype=jnp.float64),
+            "d3_c6": jnp.asarray(c6, dtype=jnp.float64),
         }
     # NOTE: global K factors are static EngineSettings, not part of theta —
     # including them as inert leaves lets the optimizer drift them with zero
@@ -69,8 +86,33 @@ def theta_init(variant: str = "gfn1") -> dict:
 
 
 def theta_to_tables(theta: dict, variant: str = "gfn1") -> None:
-    """Write theta values back into the parameter module (host-side)."""
+    """Write theta values back into the parameter module (host-side).
+
+    NOTE: en/rad/rcov/r4r2/d3_c6 extensions are applied to the shared
+    radii/D3 tables (variant-global)."""
+    from ...constants import BOHR_TO_ANGSTROM
+    from . import dispersion_d3
+
     params = _params_module(variant)
+    for z in FITTED_Z:
+        el = theta["elements"][z]
+        if "rad" in el:
+            params.ATOMIC_RADII_A[z] = float(el["rad"]) * BOHR_TO_ANGSTROM
+        if "rcov" in el:
+            params.COVALENT_RADII_A[z] = float(el["rcov"]) * BOHR_TO_ANGSTROM
+        if "r4r2" in el:
+            dispersion_d3.R4R2[z] = float(el["r4r2"])
+        if "d3_c6" in el:
+            n = len(dispersion_d3.REF_C6_DIAG[z])
+            dispersion_d3.REF_C6_DIAG[z] = (
+                np.asarray(el["d3_c6"])[:n].tolist()
+            )
+        if "en" in el:
+            object.__setattr__(params.ELEMENTS[z], "en", float(el["en"]))
+    dispersion_d3._element_ref_arrays.cache_clear()
+    from .batch import element_basis
+
+    element_basis.cache_clear()
     for z in FITTED_Z:
         rec = params.ELEMENTS[z]
         el = theta["elements"][z]
@@ -190,9 +232,9 @@ def _element_shell_tables(theta, variant: str, nprim: int, needed_z=None):
             pa[row] = jnp.concatenate([a, jnp.zeros(nprim - a.shape[0])])
             pc[row] = jnp.concatenate([c, jnp.zeros(nprim - c.shape[0])])
 
-    gam3 = jnp.stack([theta["elements"][z]["gam3"] for z in FITTED_Z])
-    alpha = jnp.stack([theta["elements"][z]["alpha"] for z in FITTED_Z])
-    zeff = jnp.stack([theta["elements"][z]["zeff"] for z in FITTED_Z])
+    def atvec(key):
+        return jnp.stack([theta["elements"][z][key] for z in FITTED_Z])
+
     return {
         "level": jnp.stack(level),
         "kcn": jnp.stack(kcn),
@@ -200,9 +242,14 @@ def _element_shell_tables(theta, variant: str, nprim: int, needed_z=None):
         "eta": jnp.stack(eta),
         "prim_alpha": jnp.stack(pa),
         "prim_coeff": jnp.stack(pc),
-        "gam3": gam3,
-        "alpha": alpha,
-        "zeff": zeff,
+        "gam3": atvec("gam3"),
+        "alpha": atvec("alpha"),
+        "zeff": atvec("zeff"),
+        "en": atvec("en"),
+        "rad": atvec("rad"),
+        "rcov": atvec("rcov"),
+        "r4r2": atvec("r4r2"),
+        "d3_c6sqrt": jnp.sqrt(jnp.maximum(atvec("d3_c6"), 0.0)),
     }
 
 
@@ -292,6 +339,14 @@ class FragmentSpec:
         at_gam3 = jnp.where(at_mask > 0.5, tabs["gam3"][self.at_row], 0.0)
         at_alpha = jnp.where(at_mask > 0.5, tabs["alpha"][self.at_row], 1.0)
         at_zeff = jnp.where(at_mask > 0.5, tabs["zeff"][self.at_row], 0.0)
+        at_en = jnp.where(at_mask > 0.5, tabs["en"][self.at_row], 0.0)
+        at_rad = jnp.where(at_mask > 0.5, tabs["rad"][self.at_row], 1.0)
+        at_rcov = jnp.where(at_mask > 0.5, tabs["rcov"][self.at_row], 0.0)
+        d3_r4r2 = jnp.where(at_mask > 0.5, tabs["r4r2"][self.at_row], 0.0)
+        # (nat, MAX_REFS) diagonal reference sqrt(C6) — the APPROX D3 data
+        d3_c6s = tabs["d3_c6sqrt"][self.at_row] * (
+            base.d3_ref_c6sqrt > 0
+        ).astype(at_gam3.dtype)
 
         return base._replace(
             sh_level=sh_level,
@@ -303,4 +358,9 @@ class FragmentSpec:
             at_gam3=at_gam3,
             at_alpha=at_alpha,
             at_zeff=at_zeff,
+            at_en=at_en,
+            at_rad=at_rad,
+            at_rcov=at_rcov,
+            d3_r4r2=d3_r4r2,
+            d3_ref_c6sqrt=d3_c6s,
         )

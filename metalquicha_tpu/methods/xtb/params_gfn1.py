@@ -184,9 +184,12 @@ GLOBALS = GlobalParams()
 
 
 def load_overlay(path: str) -> None:
-    """Overlay parameter values from a JSON file (for calibration runs).
+    """Overlay parameter values from a JSON file (fitted tables).
 
-    Schema: {"globals": {...}, "elements": {"1": {"levels": [...], ...}}}
+    Standard ElementRecord fields update the records; the extended fields
+    (en, rad [Bohr], rcov [Bohr], r4r2, d3_c6) update the shared radii and
+    D3 tables. Caches are invalidated so subsequent batch builds see the
+    new values.
     """
     with open(path, "r", encoding="utf-8") as fh:
         data = json.load(fh)
@@ -196,7 +199,32 @@ def load_overlay(path: str) -> None:
         z = int(z_str)
         rec = ELEMENTS[z]
         for key, val in fields.items():
-            object.__setattr__(rec, key, tuple(val) if isinstance(val, list) else val)
+            if key == "rad":
+                ATOMIC_RADII_A[z] = float(val) * 0.52917721092
+            elif key == "rcov":
+                COVALENT_RADII_A[z] = float(val) * 0.52917721092
+            elif key == "r4r2":
+                from . import dispersion_d3
+
+                dispersion_d3.R4R2[z] = float(val)
+            elif key == "d3_c6":
+                from . import dispersion_d3
+
+                n = len(dispersion_d3.REF_C6_DIAG[z])
+                dispersion_d3.REF_C6_DIAG[z] = list(val)[:n]
+            else:
+                object.__setattr__(
+                    rec, key, tuple(val) if isinstance(val, list) else val
+                )
+    # invalidate caches without triggering circular imports at module load
+    import sys as _sys
+
+    _d3 = _sys.modules.get(__package__ + ".dispersion_d3")
+    if _d3 is not None:
+        _d3._element_ref_arrays.cache_clear()
+    _batch = _sys.modules.get(__package__ + ".batch")
+    if _batch is not None and hasattr(_batch, "element_basis"):
+        _batch.element_basis.cache_clear()
 
 
 # Auto-load fitted parameter overlay if present (written by tools/fit_*.py).

@@ -17,8 +17,6 @@ import copy
 import json
 
 from .params_gfn1 import (  # noqa: F401
-    ATOMIC_RADII_A,
-    COVALENT_RADII_A,
     EV2AU,
     ElementRecord,
     GlobalParams,
@@ -26,8 +24,10 @@ from .params_gfn1 import (  # noqa: F401
 )
 from . import params_gfn1 as _g1
 
-#: independent copy so GFN2 calibration never mutates the GFN1 table
+#: independent copies so GFN2 calibration never mutates the GFN1 tables
 ELEMENTS: dict = copy.deepcopy(_g1.ELEMENTS)
+ATOMIC_RADII_A = _g1.ATOMIC_RADII_A.copy()
+COVALENT_RADII_A = _g1.COVALENT_RADII_A.copy()
 
 GLOBALS = GlobalParams(
     kss=1.85,
@@ -59,17 +59,42 @@ def get_element(z: int) -> ElementRecord:
 
 
 def load_overlay(path: str) -> None:
-    """Overlay GFN2 parameter values from JSON (calibration hook)."""
+    """Overlay parameter values from a JSON file (fitted tables).
+
+    Standard ElementRecord fields update the records; the extended fields
+    (en, rad [Bohr], rcov [Bohr], r4r2, d3_c6) update the shared radii and
+    D3 tables. Caches are invalidated so subsequent batch builds see the
+    new values.
+    """
     with open(path, "r", encoding="utf-8") as fh:
         data = json.load(fh)
     for key, val in data.get("globals", {}).items():
         setattr(GLOBALS, key, val)
     for z_str, fields in data.get("elements", {}).items():
-        rec = ELEMENTS[int(z_str)]
+        z = int(z_str)
+        rec = ELEMENTS[z]
         for key, val in fields.items():
-            object.__setattr__(
-                rec, key, tuple(val) if isinstance(val, list) else val
-            )
+            if key == "rad":
+                ATOMIC_RADII_A[z] = float(val) * 0.52917721092
+            elif key == "rcov":
+                COVALENT_RADII_A[z] = float(val) * 0.52917721092
+            elif key in ("r4r2", "d3_c6"):
+                # D3 tables are currently shared across variants; a GFN2
+                # overlay must not clobber the GFN1-fitted dispersion data
+                pass
+            else:
+                object.__setattr__(
+                    rec, key, tuple(val) if isinstance(val, list) else val
+                )
+    # invalidate caches without triggering circular imports at module load
+    import sys as _sys
+
+    _d3 = _sys.modules.get(__package__ + ".dispersion_d3")
+    if _d3 is not None:
+        _d3._element_ref_arrays.cache_clear()
+    _batch = _sys.modules.get(__package__ + ".batch")
+    if _batch is not None and hasattr(_batch, "element_basis"):
+        _batch.element_basis.cache_clear()
 
 
 # Auto-load fitted parameter overlay if present (written by tools/fit_*.py).
