@@ -1,0 +1,84 @@
+"""Parameter overlay roundtrip tests (fit output -> production tables)."""
+
+import json
+
+import numpy as np
+import pytest
+
+
+def test_theta_tables_roundtrip(tmp_path):
+    """theta -> JSON -> load_overlay must reproduce the engine energy."""
+    import jax
+
+    from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
+    from metalquicha_tpu.methods.xtb import params_gfn1
+    from metalquicha_tpu.methods.xtb.calculator import (
+        XtbCalculator,
+        single_point_energy,
+    )
+    from metalquicha_tpu.methods.xtb.engine import settings_from_params
+    from metalquicha_tpu.methods.xtb.param_fit import (
+        FragmentSpec,
+        theta_init,
+    )
+
+    w = (
+        np.array(
+            [[0.0, 0.0, 0.117], [0.0, 0.757, -0.471], [0.0, -0.757, -0.471]]
+        )
+        * ANGSTROM_TO_BOHR
+    )
+    numbers = np.array([8, 1, 1])
+    settings = settings_from_params("gfn1")
+
+    # perturb a few parameters (incl. the extended fields)
+    theta = theta_init("gfn1")
+    theta["elements"][8]["levels"] = theta["elements"][8]["levels"] + 0.05
+    theta["elements"][1]["rad"] = theta["elements"][1]["rad"] * 1.02
+    theta["elements"][8]["d3_c6"] = theta["elements"][8]["d3_c6"] * 1.01
+
+    spec = FragmentSpec(numbers, w, 0, 1)
+    frag = spec.rebuild(theta)
+    e_theta, _ = single_point_energy(frag.coords, frag, settings)
+
+    # save as overlay JSON and apply to the production tables
+    overlay = {
+        "elements": {
+            str(z): {k: np.asarray(v).tolist() for k, v in el.items()}
+            for z, el in theta["elements"].items()
+        }
+    }
+    path = tmp_path / "ov.json"
+    path.write_text(json.dumps(overlay))
+
+    snapshot = {
+        "rad": params_gfn1.ATOMIC_RADII_A.copy(),
+        "rcov": params_gfn1.COVALENT_RADII_A.copy(),
+    }
+    import copy
+
+    from metalquicha_tpu.methods.xtb import dispersion_d3
+
+    rec_snap = copy.deepcopy(params_gfn1.ELEMENTS)
+    c6_snap = copy.deepcopy(dispersion_d3.REF_C6_DIAG)
+    r4r2_snap = copy.deepcopy(dispersion_d3.R4R2)
+    try:
+        params_gfn1.load_overlay(str(path))
+        calc = XtbCalculator(settings)
+        fd = calc.make_batch([(numbers, w, 0, 1)])
+        e_prod, _ = calc.energies(fd)
+        assert float(e_prod[0]) == pytest.approx(float(e_theta), abs=1e-11)
+    finally:
+        # restore global tables so other tests see the base parameterization
+        params_gfn1.ATOMIC_RADII_A[:] = snapshot["rad"]
+        params_gfn1.COVALENT_RADII_A[:] = snapshot["rcov"]
+        params_gfn1.ELEMENTS.clear()
+        params_gfn1.ELEMENTS.update(rec_snap)
+        dispersion_d3.REF_C6_DIAG.clear()
+        dispersion_d3.REF_C6_DIAG.update(c6_snap)
+        dispersion_d3.R4R2.clear()
+        dispersion_d3.R4R2.update(r4r2_snap)
+        dispersion_d3._element_ref_arrays.cache_clear()
+        from metalquicha_tpu.methods.xtb.batch import element_basis
+
+        element_basis.cache_clear()
