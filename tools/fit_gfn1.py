@@ -357,9 +357,11 @@ def main() -> int:
 
         Jw = tw[:, None] * J
         rw = tw * r
-        A = Jw.T @ Jw + (
-            args.prior + lm * np.abs(np.diag(Jw.T @ Jw)).max()
-        ) * np.eye(n_params)
+        G = Jw.T @ Jw
+        dG = np.diag(G).copy()
+        # Marquardt diagonal scaling: damping proportional to each column's
+        # own curvature (columns span wildly different unit scales)
+        A = G + np.diag(args.prior + lm * np.maximum(dG, 1e-12 * dG.max()))
         b = Jw.T @ rw + args.prior * (flat - prior)
         step = np.linalg.solve(A, b)
         flat_new = flat - step
