@@ -296,6 +296,8 @@ def main() -> int:
     ap.add_argument("--seed-from", default=None,
                     help="warm-start theta from a previous fit JSON")
     ap.add_argument("--decane-weight", type=float, default=None)
+    ap.add_argument("--scipy", action="store_true",
+                    help="scipy trust-region with the analytic Jacobian")
     args = ap.parse_args()
 
     if args.decane_weight is not None:
@@ -347,6 +349,34 @@ def main() -> int:
 
     r, J = eval_all(flat)
     best = (float(np.sqrt(((tw * r) ** 2).mean())), flat.copy(), r.copy())
+
+    if args.scipy:
+        from scipy.optimize import least_squares
+
+        cache = {}
+
+        def f_res(x):
+            r_, J_ = eval_all(x)
+            cache["J"] = J_
+            return tw * r_
+
+        def f_jac(x):
+            if "J" in cache:
+                return tw[:, None] * cache.pop("J")
+            _, J_ = eval_all(x)
+            return tw[:, None] * J_
+
+        res = least_squares(
+            f_res, flat, jac=f_jac, method="trf", x_scale="jac",
+            tr_solver="exact", max_nfev=args.iters, verbose=2,
+        )
+        flat = res.x
+        r, J = eval_all(flat)
+        best = (float(np.sqrt(((tw * r) ** 2).mean())), flat.copy(), r.copy())
+        print(f"scipy final wrmse={best[0]:.3e}")
+        for n, ri in zip(names, r):
+            print(f"    {n:<16} {ri:+.6e}")
+        args.iters = 0  # skip the hand-rolled LM loop
 
     for it in range(args.iters):
         rmse_w = float(np.sqrt(((tw * r) ** 2).mean()))
