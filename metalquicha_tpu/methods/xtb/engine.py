@@ -89,7 +89,11 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
 def coordination_numbers(coords, rcov, atom_mask, steepness):
     """Exponential counting function CN (GFN1/D3 style, k2 = 4/3)."""
     diff = coords[:, None, :] - coords[None, :, :]
-    r = jnp.sqrt((diff**2).sum(-1) + jnp.eye(coords.shape[0]))
+    # clamp before sqrt: coincident pairs (GMBE caps) otherwise produce
+    # inf * 0 = NaN in the backward pass
+    r = jnp.sqrt(
+        jnp.maximum((diff**2).sum(-1), 1e-12) + jnp.eye(coords.shape[0])
+    )
     r0 = (4.0 / 3.0) * (rcov[:, None] + rcov[None, :])
     cf = 1.0 / (1.0 + jnp.exp(-steepness * (r0 / r - 1.0)))
     pair_mask = atom_mask[:, None] * atom_mask[None, :]
@@ -100,7 +104,10 @@ def coordination_numbers(coords, rcov, atom_mask, steepness):
 
 def pair_distances(coords):
     diff = coords[:, None, :] - coords[None, :, :]
-    return jnp.sqrt((diff**2).sum(-1) + jnp.eye(coords.shape[0]))
+    # clamped sqrt: keeps gradients finite at coincident pairs (GMBE caps)
+    return jnp.sqrt(
+        jnp.maximum((diff**2).sum(-1), 1e-12) + jnp.eye(coords.shape[0])
+    )
 
 
 def repulsion_energy(coords, zeff, alpha, atom_mask, kexp, rexp):
@@ -227,12 +234,46 @@ def occupations(eps, nelec, nuhf, kt, ao_mask, fixed: bool):
 # ---------------------------------------------------------------------------
 
 
+@jax.custom_vjp
+def eigh_safe(a):
+    """Symmetric eigendecomposition with a degeneracy-safe backward pass.
+
+    jax's stock eigh VJP divides by eigenvalue gaps, producing NaN for
+    EXACTLY degenerate spectra (symmetric molecules; coincident GMBE caps;
+    padded levels). This regularizes the gap kernel
+    F_ij = g / (g^2 + eps), which is exact away from degeneracy and gives
+    the correct limit for gauge-invariant downstream functions (energies,
+    density matrices with equal occupations in the degenerate block).
+    """
+    return jnp.linalg.eigh(a)
+
+
+def _eigh_safe_fwd(a):
+    w, v = jnp.linalg.eigh(a)
+    return (w, v), (w, v)
+
+
+def _eigh_safe_bwd(res, cot):
+    w, v = res
+    dw, dv = cot
+    gap = w[..., None, :] - w[..., :, None]  # (i, j): w_j - w_i
+    f = gap / (gap**2 + 1e-18)
+    inner = f * (jnp.swapaxes(v, -1, -2) @ dv)
+    idx = jnp.arange(w.shape[-1])
+    inner = inner.at[..., idx, idx].add(dw)
+    da = v @ inner @ jnp.swapaxes(v, -1, -2)
+    return (0.5 * (da + jnp.swapaxes(da, -1, -2)),)
+
+
+eigh_safe.defvjp(_eigh_safe_fwd, _eigh_safe_bwd)
+
+
 def _general_eigh(F, S_chol):
     """Generalized eigenproblem via Cholesky factor of S (AD-friendly)."""
     L = S_chol
     Linv_F = jax.scipy.linalg.solve_triangular(L, F, lower=True)
     Ft = jax.scipy.linalg.solve_triangular(L, Linv_F.T, lower=True).T
-    eps, Cp = jnp.linalg.eigh(Ft)
+    eps, Cp = eigh_safe(Ft)
     C = jax.scipy.linalg.solve_triangular(L.T, Cp, lower=False)
     return eps, C
 

@@ -249,7 +249,13 @@ def _element_shell_tables(theta, variant: str, nprim: int, needed_z=None):
         "rad": atvec("rad"),
         "rcov": atvec("rcov"),
         "r4r2": atvec("r4r2"),
-        "d3_c6sqrt": jnp.sqrt(jnp.maximum(atvec("d3_c6"), 0.0)),
+        # padded reference slots hold 0: guard the sqrt so their gradient is
+        # exactly zero instead of inf * 0 = NaN
+        "d3_c6sqrt": jnp.where(
+            atvec("d3_c6") > 0.0,
+            jnp.sqrt(jnp.maximum(atvec("d3_c6"), 1e-30)),
+            0.0,
+        ),
     }
 
 
