@@ -244,8 +244,11 @@ def eigh_safe(a):
     F_ij = g / (g^2 + eps), which is exact away from degeneracy and gives
     the correct limit for gauge-invariant downstream functions (energies,
     density matrices with equal occupations in the degenerate block).
+
+    Returns a plain (eigenvalues, eigenvectors) tuple.
     """
-    return jnp.linalg.eigh(a)
+    w, v = jnp.linalg.eigh(a)
+    return w, v
 
 
 def _eigh_safe_fwd(a):
