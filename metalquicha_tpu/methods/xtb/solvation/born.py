@@ -23,21 +23,38 @@ import numpy as np
 
 from ....constants import ANGSTROM_TO_BOHR
 
-#: Bondi vdW radii (Angstrom) — CALIBRATE vs tblite's vdwrad table
-VDW_RADII_A = np.zeros(119)
-VDW_RADII_A[1:19] = [
-    1.20, 1.40,
-    1.82, 1.53, 1.92, 1.70, 1.55, 1.52, 1.47, 1.54,
-    2.27, 1.73, 1.84, 2.10, 1.80, 1.80, 1.75, 1.88,
-]
+def _radii_table():
+    t = np.zeros(119)
+    t[1:19] = [
+        1.20, 1.40,
+        1.82, 1.53, 1.92, 1.70, 1.55, 1.52, 1.47, 1.54,
+        2.27, 1.73, 1.84, 2.10, 1.80, 1.80, 1.75, 1.88,
+    ]
+    return t
 
-#: HCT descreening scale factors — CALIBRATE
-DESCREEN = np.zeros(119)
-DESCREEN[1:19] = [
-    0.85, 0.88,
-    0.80, 0.80, 0.80, 0.72, 0.79, 0.85, 0.88, 0.80,
-    0.80, 0.80, 0.80, 0.80, 0.86, 0.96, 0.80, 0.80,
-]
+
+def _descreen_table():
+    t = np.zeros(119)
+    t[1:19] = [
+        0.85, 0.88,
+        0.80, 0.80, 0.80, 0.72, 0.79, 0.85, 0.88, 0.80,
+        0.80, 0.80, 0.80, 0.80, 0.86, 0.96, 0.80, 0.80,
+    ]
+    return t
+
+
+#: per-model parameter sets (ALPB and GBSA are separate parameterizations
+#: in the upstream stack, not just a flag) — CALIBRATE via fit_solvation
+PARAM_SETS = {
+    "alpb": {"vdw": _radii_table(), "descreen": _descreen_table(),
+             "rho_offset_a": 0.09, "alpha": 0.571412},
+    "gbsa": {"vdw": _radii_table(), "descreen": _descreen_table(),
+             "rho_offset_a": 0.09, "alpha": 0.0},
+}
+
+# Backwards-compatible aliases (ALPB set)
+VDW_RADII_A = PARAM_SETS["alpb"]["vdw"]
+DESCREEN = PARAM_SETS["alpb"]["descreen"]
 
 # OBC-II rescaling coefficients
 OBC_ALPHA, OBC_BETA, OBC_GAMMA = 1.0, 0.8, 4.85
@@ -55,8 +72,13 @@ class BornSolvation:
     solvent: str = "water"
     kind: str = "born"
 
+    @property
+    def param_set(self):
+        return PARAM_SETS["alpb" if self.alpb else "gbsa"]
+
     def host_tables(self, numbers):
         """Per-atom arrays: vdW radius and descreening factor (Bohr)."""
+        ps = self.param_set
         nat = len(numbers)
         rvdw = np.zeros(nat)
         sx = np.zeros(nat)
@@ -64,15 +86,18 @@ class BornSolvation:
             z = int(z)
             if z == 0:
                 continue
-            rvdw[i] = VDW_RADII_A[z] * ANGSTROM_TO_BOHR
-            sx[i] = DESCREEN[z]
+            rvdw[i] = ps["vdw"][z] * ANGSTROM_TO_BOHR
+            sx[i] = ps["descreen"][z]
         return {"solv_rvdw": rvdw, "solv_sx": sx}
 
     # ---- engine-side (jnp, differentiable) --------------------------------
 
     def default_scalars(self):
         """[rho_offset, alpb_alpha, unused, unused] (Bohr / dimensionless)."""
-        return np.array([RHO_OFFSET, ALPB_ALPHA, 0.0, 0.0])
+        ps = self.param_set
+        return np.array(
+            [ps["rho_offset_a"] * ANGSTROM_TO_BOHR, ps["alpha"], 0.0, 0.0]
+        )
 
     def born_radii(self, coords, rvdw, sx, atom_mask, rho_offset=None):
         """OBC Born radii (nat,) in Bohr; padded atoms get radius 1."""
@@ -147,3 +172,45 @@ class BornSolvation:
         gamma = keps * kernel
         pair_mask = atom_mask[:, None] * atom_mask[None, :]
         return gamma * pair_mask
+
+
+def load_solvation_overlay(path: str) -> None:
+    """Apply fitted solvation parameters (written by tools/fit_solvation.py)."""
+    import json
+
+    with open(path, "r", encoding="utf-8") as fh:
+        d = json.load(fh)
+    ps_a, ps_g = PARAM_SETS["alpb"], PARAM_SETS["gbsa"]
+    for key, (ps, field, z) in {
+        "alpb_vdw_H": (ps_a, "vdw", 1), "alpb_vdw_O": (ps_a, "vdw", 8),
+        "alpb_descreen_H": (ps_a, "descreen", 1),
+        "alpb_descreen_O": (ps_a, "descreen", 8),
+        "gbsa_vdw_H": (ps_g, "vdw", 1), "gbsa_vdw_O": (ps_g, "vdw", 8),
+        "gbsa_descreen_H": (ps_g, "descreen", 1),
+        "gbsa_descreen_O": (ps_g, "descreen", 8),
+    }.items():
+        if key in d:
+            ps[field][z] = float(d[key])
+    if "alpb_rho_offset_A" in d:
+        ps_a["rho_offset_a"] = float(d["alpb_rho_offset_A"])
+    if "alpb_alpha" in d:
+        ps_a["alpha"] = float(d["alpb_alpha"])
+    if "gbsa_rho_offset_A" in d:
+        ps_g["rho_offset_a"] = float(d["gbsa_rho_offset_A"])
+    if "cosmo_x" in d or "cpcm_zeta" in d:
+        from . import cpcm as _cpcm
+
+        if "cosmo_x" in d:
+            _cpcm.COSMO_X = float(d["cosmo_x"])
+        if "cpcm_zeta" in d:
+            _cpcm.SELF_INTERACTION = float(d["cpcm_zeta"])
+
+
+import os as _os
+
+_SOLV_OVERLAY = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data", "solv_fitted.json",
+)
+if _os.path.exists(_SOLV_OVERLAY):
+    load_solvation_overlay(_SOLV_OVERLAY)

@@ -90,19 +90,17 @@ def build_eval():
         jitted[name] = jax.jit(e_of)
 
     def energies(x):
-        rvdw = jnp.asarray(
-            np.where(is_h, x[0], x[1]) * ANGSTROM_TO_BOHR
-        )
-        sx = jnp.asarray(np.where(is_h, x[2], x[3]))
-        born_scalars = jnp.asarray(
-            [x[4] * ANGSTROM_TO_BOHR, x[5], 0.0, 0.0]
-        )
-        cpcm_scalars = jnp.asarray([x[6], x[7], 0.0, 0.0])
+        rv_a = jnp.asarray(np.where(is_h, x[0], x[1]) * ANGSTROM_TO_BOHR)
+        sx_a = jnp.asarray(np.where(is_h, x[2], x[3]))
+        sc_a = jnp.asarray([x[4] * ANGSTROM_TO_BOHR, x[5], 0.0, 0.0])
+        rv_g = jnp.asarray(np.where(is_h, x[6], x[7]) * ANGSTROM_TO_BOHR)
+        sx_g = jnp.asarray(np.where(is_h, x[8], x[9]))
+        sc_g = jnp.asarray([x[10] * ANGSTROM_TO_BOHR, 0.0, 0.0, 0.0])
+        sc_c = jnp.asarray([x[11], x[12], 0.0, 0.0])
         return {
-            "alpb": float(jitted["alpb"](rvdw, sx, born_scalars)),
-            "gbsa": float(jitted["gbsa"](rvdw, sx, born_scalars)),
-            "cpcm": float(jitted["cpcm"](rvdw, jnp.zeros_like(sx),
-                                          cpcm_scalars)),
+            "alpb": float(jitted["alpb"](rv_a, sx_a, sc_a)),
+            "gbsa": float(jitted["gbsa"](rv_g, sx_g, sc_g)),
+            "cpcm": float(jitted["cpcm"](rv_a, jnp.zeros_like(sx_a), sc_c)),
         }
 
     return energies
@@ -110,21 +108,31 @@ def build_eval():
 
 # parameter vector: [vdw_H, vdw_O, descreen_H, descreen_O, rho_offset_A,
 #                    alpb_alpha, cosmo_x, cpcm_zeta]
-X0 = np.array([1.20, 1.52, 0.85, 0.85, 0.09, 0.571412, 0.5, 1.07])
-LB = np.array([0.6, 0.9, 0.3, 0.3, 0.0, 0.0, 0.0, 0.5])
-UB = np.array([2.5, 2.8, 1.2, 1.2, 0.6, 2.0, 2.0, 2.5])
+# [0:5] ALPB vdw_H/vdw_O/descreen_H/descreen_O/rho_offset_A; [5] ALPB alpha;
+# [6:11] GBSA same five; [11:13] CPCM cosmo_x, zeta
+X0 = np.array([1.20, 1.52, 0.85, 0.85, 0.09, 0.571412,
+               1.20, 1.52, 0.85, 0.85, 0.09,
+               0.5, 1.07])
+LB = np.array([0.6, 0.9, 0.3, 0.3, 0.0, 0.0,
+               0.6, 0.9, 0.3, 0.3, 0.0,
+               0.0, 0.5])
+UB = np.array([2.5, 2.8, 1.2, 1.2, 0.6, 2.0,
+               2.5, 2.8, 1.2, 1.2, 0.6,
+               2.0, 2.5])
 
 
 def apply_params(x):
     """Persist fitted values into the solvation modules (for production)."""
-    born_mod.VDW_RADII_A[1] = x[0]
-    born_mod.VDW_RADII_A[8] = x[1]
-    born_mod.DESCREEN[1] = x[2]
-    born_mod.DESCREEN[8] = x[3]
-    born_mod.RHO_OFFSET = x[4] * ANGSTROM_TO_BOHR
-    born_mod.ALPB_ALPHA = x[5]
-    cpcm_mod.COSMO_X = x[6]
-    cpcm_mod.SELF_INTERACTION = x[7]
+    ps_a = born_mod.PARAM_SETS["alpb"]
+    ps_g = born_mod.PARAM_SETS["gbsa"]
+    ps_a["vdw"][1], ps_a["vdw"][8] = x[0], x[1]
+    ps_a["descreen"][1], ps_a["descreen"][8] = x[2], x[3]
+    ps_a["rho_offset_a"], ps_a["alpha"] = x[4], x[5]
+    ps_g["vdw"][1], ps_g["vdw"][8] = x[6], x[7]
+    ps_g["descreen"][1], ps_g["descreen"][8] = x[8], x[9]
+    ps_g["rho_offset_a"] = x[10]
+    cpcm_mod.COSMO_X = x[11]
+    cpcm_mod.SELF_INTERACTION = x[12]
 
 
 def residuals_fn(energies, nang=230):
@@ -155,8 +163,10 @@ def main() -> int:
         verbose=2, x_scale="jac",
     )
     print("final residuals:", f(res.x))
-    names = ["vdw_H", "vdw_O", "descreen_H", "descreen_O", "rho_offset_A",
-             "alpb_alpha", "cosmo_x", "cpcm_zeta"]
+    names = ["alpb_vdw_H", "alpb_vdw_O", "alpb_descreen_H", "alpb_descreen_O",
+             "alpb_rho_offset_A", "alpb_alpha",
+             "gbsa_vdw_H", "gbsa_vdw_O", "gbsa_descreen_H", "gbsa_descreen_O",
+             "gbsa_rho_offset_A", "cosmo_x", "cpcm_zeta"]
     out = dict(zip(names, res.x.tolist()))
     out["residuals"] = dict(zip(EXPECTED, f(res.x).tolist()))
     with open(args.out, "w") as fh:
