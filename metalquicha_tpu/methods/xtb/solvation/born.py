@@ -50,6 +50,7 @@ PARAM_SETS = {
              "rho_offset_a": 0.09, "alpha": 0.571412},
     "gbsa": {"vdw": _radii_table(), "descreen": _descreen_table(),
              "rho_offset_a": 0.09, "alpha": 0.0},
+    "cpcm": {"vdw": _radii_table()},
 }
 
 # Backwards-compatible aliases (ALPB set)
@@ -197,6 +198,9 @@ def load_solvation_overlay(path: str) -> None:
         ps_a["alpha"] = float(d["alpb_alpha"])
     if "gbsa_rho_offset_A" in d:
         ps_g["rho_offset_a"] = float(d["gbsa_rho_offset_A"])
+    for key, z in (("cpcm_vdw_H", 1), ("cpcm_vdw_O", 8)):
+        if key in d:
+            PARAM_SETS["cpcm"]["vdw"][z] = float(d[key])
     if "cosmo_x" in d or "cpcm_zeta" in d:
         from . import cpcm as _cpcm
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ....constants import ANGSTROM_TO_BOHR
-from .born import VDW_RADII_A
+from .born import PARAM_SETS
 
 COSMO_X = 0.5          # f = (eps-1)/(eps+COSMO_X); CALIBRATE
 SELF_INTERACTION = 1.07  # zeta in A_kk = zeta*sqrt(4 pi / a_k)
@@ -51,7 +51,7 @@ class CpcmSolvation:
         for i, z in enumerate(numbers):
             z = int(z)
             if z:
-                rvdw[i] = VDW_RADII_A[z] * ANGSTROM_TO_BOHR * self.rscale
+                rvdw[i] = PARAM_SETS["cpcm"]["vdw"][z] * ANGSTROM_TO_BOHR * self.rscale
         return {"solv_rvdw": rvdw, "solv_sx": np.zeros(nat)}
 
     def default_scalars(self):
