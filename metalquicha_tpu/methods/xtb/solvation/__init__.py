@@ -76,3 +76,20 @@ def make_solvation_model(xtb_config, variant: str):
             rscale=xtb_config.cpcm_rscale,
         )
     raise NotImplementedError(f"solvation model {model!r} not implemented")
+
+
+# ---------------------------------------------------------------------------
+# Fitted-parameter auto-load. MUST happen after both submodules are fully
+# executed: loading from inside born.py raced the circular born<->cpcm
+# import and cpcm's own constant definitions clobbered the loaded values.
+# ---------------------------------------------------------------------------
+from . import born as _born  # noqa: E402
+from . import cpcm as _cpcm  # noqa: E402
+import os as _os  # noqa: E402
+
+_SOLV_OVERLAY = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    "data", "solv_fitted.json",
+)
+if _os.path.exists(_SOLV_OVERLAY):
+    _born.load_solvation_overlay(_SOLV_OVERLAY)

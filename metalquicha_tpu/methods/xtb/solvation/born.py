@@ -209,12 +209,3 @@ def load_solvation_overlay(path: str) -> None:
         if "cpcm_zeta" in d:
             _cpcm.SELF_INTERACTION = float(d["cpcm_zeta"])
 
-
-import os as _os
-
-_SOLV_OVERLAY = _os.path.join(
-    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
-    "data", "solv_fitted.json",
-)
-if _os.path.exists(_SOLV_OVERLAY):
-    load_solvation_overlay(_SOLV_OVERLAY)
