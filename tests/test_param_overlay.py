@@ -82,3 +82,37 @@ def test_theta_tables_roundtrip(tmp_path):
         from metalquicha_tpu.methods.xtb.batch import element_basis
 
         element_basis.cache_clear()
+
+
+def test_solvation_overlay_survives_import_order():
+    """The fitted solvation constants must be live regardless of which
+    solvation submodule triggered the package import (regression: a circular
+    born<->cpcm import let cpcm's own constants clobber the overlay)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    data = os.path.join(
+        repo, "metalquicha_tpu", "methods", "xtb", "data", "solv_fitted.json"
+    )
+    if not os.path.exists(data):
+        import pytest
+
+        pytest.skip("no fitted solvation overlay installed")
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu')\n"
+        "from metalquicha_tpu.methods.xtb.solvation.cpcm import CpcmSolvation\n"
+        "from metalquicha_tpu.methods.xtb.solvation import cpcm\n"
+        "import json\n"
+        f"d = json.load(open({data!r}))\n"
+        "assert abs(cpcm.COSMO_X - d['cosmo_x']) < 1e-12, cpcm.COSMO_X\n"
+        "assert abs(cpcm.SELF_INTERACTION - d['cpcm_zeta']) < 1e-12\n"
+        "print('overlay live')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=repo, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "overlay live" in out.stdout
