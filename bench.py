@@ -85,7 +85,7 @@ def main() -> int:
 
     frags_per_sec = batch_size * n_iters / dt
     max_resid = float(np.abs(np.asarray(aux["scf_residual"])).max())
-    assert max_resid < 1e-3, f"SCF not converged in bench: {max_resid}"
+    assert max_resid < 1e-5, f"SCF not converged in bench: {max_resid}"
     print(
         json.dumps(
             {

@@ -21,7 +21,7 @@ from typing import Optional
 
 import numpy as np
 
-from .errors import InputError, with_context
+from .errors import ConvergenceError, InputError, with_context
 from .frag.combinatorics import enumerate_polymers
 from .frag.gmbe import compute_gmbe_pie, enumerate_pie_terms, primary_atom_sets
 from .frag.mbe import compute_mbe
@@ -89,7 +89,26 @@ class _DisplacedFragment:
         self.multiplicity = base.multiplicity
 
 
-def _fragment_hessians(executor, fragments, displacement):
+def _check_scf_convergence(aux, drv: DriverConfig, what: str):
+    """Fail loudly when any fragment's SCC stalled.
+
+    The reference aborts when tblite reports a failed singlepoint; a silent
+    stall here would return plausible-looking but wrong numbers (the
+    documented TPU bf16 stall mode), so this is a hard error."""
+    resid = np.asarray(aux.get("scf_residual", 0.0))
+    tol = max(10.0 * drv.method.scf.tolerance, 1e-8)
+    worst = float(resid.max()) if resid.size else 0.0
+    if worst > tol:
+        bad = int(np.argmax(resid))
+        raise ConvergenceError(
+            f"SCC did not converge during {what}: fragment {bad} residual "
+            f"{worst:.3e} > {tol:.1e} (scf tolerance "
+            f"{drv.method.scf.tolerance:.1e}, maxiter "
+            f"{drv.method.scf.maxiter}); increase %scf maxiter"
+        )
+
+
+def _fragment_hessians(executor, fragments, displacement, drv=None):
     """Batched FD Hessians (+ dipole derivatives) for a list of fragments.
 
     All displaced geometries across ALL fragments go into one executor run —
@@ -103,6 +122,8 @@ def _fragment_hessians(executor, fragments, displacement):
         spans.append((start, len(jobs)))
 
     _, grads, aux = executor.run(jobs, what="gradient")
+    if drv is not None:
+        _check_scf_convergence(aux, drv, "FD Hessian displacement sweep")
     dipoles = aux["dipole"]
 
     hessians, dipders = [], []
@@ -160,12 +181,13 @@ def _run_expansion(sys_geom: SystemGeometry, drv: DriverConfig, executor):
     else:
         energies, aux = executor.run(fragments, what="energy")
         gradients = None
+    _check_scf_convergence(aux, drv, f"{mode} fragment evaluation")
     dipoles = aux["dipole"]
 
     hessians = dipders = None
     if want_hess:
         hessians, dipders = _fragment_hessians(
-            executor, fragments, drv.hessian.displacement
+            executor, fragments, drv.hessian.displacement, drv=drv
         )
 
     # --- assemble

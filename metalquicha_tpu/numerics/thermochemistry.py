@@ -23,6 +23,7 @@ from ..constants import (
     ATM_TO_PA,
     BOHR_TO_ANGSTROM,
     CM1_TO_KELVIN,
+    HARTREE_TO_KCALMOL,
     H_SI,
     KB_HARTREE,
     KB_SI,
@@ -168,7 +169,7 @@ def compute_thermochemistry(
         E_elec=E_elec,
         S_elec=S_elec,
         zpe_hartree=zpe_ha,
-        zpe_kcalmol=zpe_ha * 627.5094740631,
+        zpe_kcalmol=zpe_ha * HARTREE_TO_KCALMOL,
         thermal_correction_energy=corr_E,
         thermal_correction_enthalpy=corr_H,
         thermal_correction_gibbs=corr_G,
