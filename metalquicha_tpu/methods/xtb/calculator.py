@@ -20,7 +20,7 @@ import numpy as np
 
 from ...constants import KB_HARTREE
 from .batch import XtbBatch, build_batch
-from .dispersion_d3 import build_d3_tables, d3_energy
+from .dispersion_d3 import build_d3_tables, d3_energy, full_pair_table
 from .engine import (
     EngineSettings,
     coordination_numbers,
@@ -65,7 +65,8 @@ class FragmentData(NamedTuple):
     at_rcov: jnp.ndarray
     at_rad: jnp.ndarray
     d3_ref_cn: jnp.ndarray
-    d3_ref_c6sqrt: jnp.ndarray
+    d3_zidx: jnp.ndarray
+    d3_c6_pair: jnp.ndarray
     d3_r4r2: jnp.ndarray
     solv_rvdw: jnp.ndarray
     solv_sx: jnp.ndarray
@@ -122,7 +123,13 @@ def fragment_data_from_batch(
         at_rcov=f(batch.at_rcov),
         at_rad=f(batch.at_rad),
         d3_ref_cn=f(np.stack([t["ref_cn"] for t in d3])),
-        d3_ref_c6sqrt=f(np.stack([t["ref_c6sqrt"] for t in d3])),
+        d3_zidx=f(np.stack([t["zidx"] for t in d3])),
+        d3_c6_pair=f(
+            np.broadcast_to(
+                full_pair_table()[None],
+                (batch.n_fragments,) + full_pair_table().shape,
+            ).copy()
+        ),
         d3_r4r2=f(np.stack([t["r4r2"] for t in d3])),
         solv_rvdw=f(solv_rvdw),
         solv_sx=f(solv_sx),
@@ -198,7 +205,8 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     cn = coordination_numbers(coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep)
     d3tab = {
         "ref_cn": frag.d3_ref_cn,
-        "ref_c6sqrt": frag.d3_ref_c6sqrt,
+        "zidx": frag.d3_zidx,
+        "pair_table": frag.d3_c6_pair,
         "r4r2": frag.d3_r4r2,
     }
     e_disp = d3_energy(

@@ -3,11 +3,18 @@
 CN-interpolated reference C6 coefficients with Becke-Johnson rational
 damping (Grimme et al., JCP 132, 154104 (2010); JCC 32, 1456 (2011)).
 
-Reference data status: free-atom and hydride-reference diagonal C6 values
-for H/C/N/O are tabulated; CROSS-PAIR reference values currently use the
-geometric-mean approximation (marked APPROX) pending the full pair table —
-this bounds absolute energy agreement at the ~1e-4 Ha level for H-bonded
-clusters and is the dominant remaining parameter gap (see validation notes).
+Reference data layout follows dftd3: every element carries a small set of
+reference systems at tabulated coordination numbers, and C6 coefficients
+are PER REFERENCE PAIR — C6ref[zA, zB, iref, jref] — interpolated with
+Gaussian CN weights on both sides:
+
+    C6_AB(cnA, cnB) = sum_ij wA_i(cnA) wB_j(cnB) C6ref[zA, zB, i, j]
+
+The pair table is initialized from geometric means of the diagonal
+(same-element) reference values and refined against the reference
+validation energies by the fit overlay (tools/fit_gfn1.py writes
+data/gfn1_fitted.json with a "d3_c6_pairs" section) — the exact dftd3 grids
+are not reproducible offline to full precision.
 """
 
 from __future__ import annotations
@@ -17,35 +24,84 @@ from functools import lru_cache
 import jax.numpy as jnp
 import numpy as np
 
-# Reference coordination numbers per element
+# Reference coordination numbers per element (dftd3 reference systems)
 REF_CN = {
     1: [0.9118, 0.0000],
     6: [0.0000, 0.9868, 1.9985, 2.9987, 3.9844],
     7: [0.0000, 0.9944, 2.0143, 2.9903],
     8: [0.0000, 0.9925, 1.9887],
+    9: [0.0000, 0.9982],
+    11: [0.0000, 0.9684],
+    12: [0.0000, 1.9465],
+    14: [0.0000, 0.9573, 1.9444, 2.9413, 3.8677],
+    15: [0.0000, 0.9888, 2.9834],
+    16: [0.0000, 0.9948, 1.9902],
+    17: [0.0000, 0.9972],
 }
 
 # Diagonal (same element, same reference) C6 values in a.u.
-# CALIBRATE: values beyond the free-atom entries are best-effort.
+# H/C/N/O from the dftd3 set; others best-effort (refined by overlay).
 REF_C6_DIAG = {
     1: [3.0267, 7.5916],
     6: [49.1130, 43.2452, 29.3602, 25.7809, 18.2067],
     7: [25.2685, 22.1241, 19.6745, 15.5817],
     8: [15.5059, 12.8161, 10.3708],
+    9: [9.6916, 7.1443],
+    11: [1608.0286, 144.0948],
+    12: [683.3758, 171.1804],
+    14: [504.0000, 381.0000, 327.0000, 305.0000, 285.0000],
+    15: [185.0000, 161.0000, 136.0000],
+    16: [134.0000, 115.0000, 98.0000],
+    17: [92.3460, 67.1400],
 }
 
 # sqrt(Z) <r^4>/<r^2> derived factors (dftd3 r2r4 array)
 R4R2 = {
     1: 2.00734898,
-    6: 3.02617533,
-    7: 2.70222770,
-    8: 2.59680509,
+    2: 1.56637132,
+    3: 5.01986934,
+    4: 3.85379032,
+    5: 3.64446594,
+    6: 3.10492822,
+    7: 2.71175247,
+    8: 2.59361680,
+    9: 2.38825250,
+    10: 2.21522516,
+    11: 6.58585536,
+    12: 5.46295967,
+    13: 5.65216669,
+    14: 4.88284902,
+    15: 4.29727576,
+    16: 4.04108902,
+    17: 3.72932356,
+    18: 3.44677275,
 }
 
 K1 = 16.0  # CN counting steepness
 K3 = 4.0   # gaussian weighting exponent
 
 MAX_REFS = 5
+
+#: fixed element index space for the pair table (all parameterized elements)
+D3_ELEMENTS = tuple(sorted(REF_CN))
+_Z_TO_IDX = {z: i for i, z in enumerate(D3_ELEMENTS)}
+
+#: fitted pair-table overrides: {(zlo, zhi): np.ndarray (n_lo, n_hi)}
+_PAIR_OVERRIDES: dict = {}
+
+
+def set_pair_table_overlay(data: dict) -> None:
+    """Install fitted pair C6 grids: {"z1-z2": [[...]]} (z1 <= z2)."""
+    for key, grid in data.items():
+        z1, z2 = (int(p) for p in key.split("-"))
+        zlo, zhi = min(z1, z2), max(z1, z2)
+        _PAIR_OVERRIDES[(zlo, zhi)] = np.asarray(grid, dtype=float)
+    invalidate_caches()
+
+
+def invalidate_caches() -> None:
+    _element_ref_arrays.cache_clear()
+    full_pair_table.cache_clear()
 
 
 @lru_cache(maxsize=None)
@@ -62,44 +118,75 @@ def _element_ref_arrays(z: int):
     return cn_pad, c6_pad, n
 
 
+@lru_cache(maxsize=None)
+def full_pair_table():
+    """(NZ, NZ, MAX_REFS, MAX_REFS) reference pair C6 table.
+
+    Geometric-mean seed from the diagonal values, overridden per pair by
+    fitted grids where available. Symmetric: T[i,j,a,b] == T[j,i,b,a]."""
+    nz = len(D3_ELEMENTS)
+    table = np.zeros((nz, nz, MAX_REFS, MAX_REFS))
+    sqrt_diag = {}
+    for z in D3_ELEMENTS:
+        _cn, c6, n = _element_ref_arrays(z)
+        sqrt_diag[z] = np.sqrt(c6)
+    for i, zi in enumerate(D3_ELEMENTS):
+        for j, zj in enumerate(D3_ELEMENTS):
+            table[i, j] = np.outer(sqrt_diag[zi], sqrt_diag[zj])
+    for (zlo, zhi), grid in _PAIR_OVERRIDES.items():
+        if zlo not in _Z_TO_IDX or zhi not in _Z_TO_IDX:
+            continue
+        i, j = _Z_TO_IDX[zlo], _Z_TO_IDX[zhi]
+        nlo, nhi = grid.shape
+        table[i, j, :nlo, :nhi] = grid
+        table[j, i, :nhi, :nlo] = grid.T
+    return table
+
+
 def build_d3_tables(numbers: np.ndarray):
     """Host-side per-atom D3 data for a (padded) fragment.
 
-    Returns dict of arrays: ref_cn (nat, R), ref_c6sqrt (nat, R), r4r2 (nat,).
-    Padded atoms (z=0) get zero tables.
-    """
+    Returns dict of arrays: ref_cn (nat, R), zidx (nat,) index into
+    D3_ELEMENTS, r4r2 (nat,). Padded atoms (z=0) get zero tables and
+    zidx=0 (masked downstream by atom_mask and their huge ref_cn)."""
     nat = len(numbers)
     ref_cn = np.full((nat, MAX_REFS), 1.0e6)
-    ref_c6s = np.zeros((nat, MAX_REFS))
+    zidx = np.zeros(nat, dtype=np.int64)
     r4r2 = np.zeros(nat)
     for i, z in enumerate(numbers):
         z = int(z)
         if z == 0:
             continue
-        cn_pad, c6_pad, n = _element_ref_arrays(z)
+        cn_pad, _c6_pad, _n = _element_ref_arrays(z)
         ref_cn[i] = cn_pad
-        # APPROX: store sqrt of diagonal C6 so pair reference values are
-        # geometric means sqrt(C6_ii) * sqrt(C6_jj)
-        ref_c6s[i] = np.sqrt(c6_pad)
+        zidx[i] = _Z_TO_IDX[z]
         r4r2[i] = R4R2[z]
-    return {"ref_cn": ref_cn, "ref_c6sqrt": ref_c6s, "r4r2": r4r2}
+    return {"ref_cn": ref_cn, "zidx": zidx, "r4r2": r4r2}
 
 
-def c6_coefficients(cn, ref_cn, ref_c6sqrt):
-    """CN-interpolated pairwise C6 (nat, nat) via gaussian weights."""
-    # weights per atom/reference
+def ref_weights(cn, ref_cn):
+    """Per-atom Gaussian reference weights (nat, R), normalized.
+
+    Falls back to the closest reference when every weight underflows."""
     w = jnp.exp(-K3 * (cn[:, None] - ref_cn) ** 2)  # (nat, R)
     wsum = w.sum(-1, keepdims=True)
-    # fallback: when every weight underflows, pick the closest reference
     closest = jnp.argmin(jnp.abs(cn[:, None] - ref_cn), axis=-1)
     onehot = (jnp.arange(ref_cn.shape[1])[None, :] == closest[:, None]).astype(
         cn.dtype
     )
-    use_fb = (wsum < 1.0e-30)
-    w = jnp.where(use_fb, onehot, w / jnp.where(wsum > 0, wsum, 1.0))
-    # effective sqrt(C6) per atom, pair C6 = geometric-mean (APPROX)
-    c6s = (w * ref_c6sqrt).sum(-1)  # (nat,)
-    return c6s[:, None] * c6s[None, :]
+    use_fb = wsum < 1.0e-30
+    return jnp.where(use_fb, onehot, w / jnp.where(wsum > 0, wsum, 1.0))
+
+
+def c6_coefficients(cn, ref_cn, zidx, pair_table):
+    """CN-interpolated pairwise C6 (nat, nat) from the reference pair table.
+
+    Memory-light contraction: never materializes (nat, nat, R, R)."""
+    w = ref_weights(cn, ref_cn)                       # (nat, R)
+    rows = pair_table[zidx]                           # (nat, NZ, R, R)
+    v = jnp.einsum("ia,itab->itb", w, rows)           # (nat, NZ, R)
+    v_pair = v[:, zidx, :]                            # (nat, nat, R)
+    return jnp.einsum("ijb,jb->ij", v_pair, w)        # (nat, nat)
 
 
 def d3_energy(
@@ -112,7 +199,9 @@ def d3_energy(
     r6 = r2**3
     r8 = r2**4
 
-    c6 = c6_coefficients(cn, d3tab["ref_cn"], d3tab["ref_c6sqrt"])
+    c6 = c6_coefficients(
+        cn, d3tab["ref_cn"], d3tab["zidx"], d3tab["pair_table"]
+    )
     qq = 3.0 * d3tab["r4r2"][:, None] * d3tab["r4r2"][None, :]
     c8 = c6 * qq
 

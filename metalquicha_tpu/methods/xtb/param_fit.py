@@ -54,15 +54,13 @@ def theta_init(variant: str = "gfn1") -> dict:
     """
     from ...constants import BOHR_TO_ANGSTROM
     from .batch import element_basis
-    from .dispersion_d3 import MAX_REFS, R4R2, REF_C6_DIAG
+    from .dispersion_d3 import _Z_TO_IDX, R4R2, full_pair_table
 
     params = _params_module(variant)
     theta = {"elements": {}}
     for z in FITTED_Z:
         rec = params.get_element(z)
         eb = element_basis(z, variant)
-        c6 = np.zeros(MAX_REFS)
-        c6[: len(REF_C6_DIAG[z])] = REF_C6_DIAG[z]
         theta["elements"][z] = {
             "levels": jnp.asarray(rec.levels, dtype=jnp.float64),
             "slater": jnp.asarray(rec.slater, dtype=jnp.float64),
@@ -77,8 +75,14 @@ def theta_init(variant: str = "gfn1") -> dict:
             "rad": jnp.asarray(eb.rad_bohr, dtype=jnp.float64),
             "rcov": jnp.asarray(eb.rcov_bohr, dtype=jnp.float64),
             "r4r2": jnp.asarray(R4R2[z], dtype=jnp.float64),
-            "d3_c6": jnp.asarray(c6, dtype=jnp.float64),
         }
+    # D3 reference PAIR C6 grids over the fitted elements (the dominant
+    # parameter-table unknown: geometric-mean seeds refined by the fit).
+    full = full_pair_table()
+    gidx = np.array([_Z_TO_IDX[z] for z in FITTED_Z])
+    theta["d3_pairs"] = jnp.asarray(
+        full[np.ix_(gidx, gidx)], dtype=jnp.float64
+    )
     # NOTE: global K factors are static EngineSettings, not part of theta —
     # including them as inert leaves lets the optimizer drift them with zero
     # gradient, which then corrupts settings when the overlay is applied.
@@ -102,14 +106,21 @@ def theta_to_tables(theta: dict, variant: str = "gfn1") -> None:
             params.COVALENT_RADII_A[z] = float(el["rcov"]) * BOHR_TO_ANGSTROM
         if "r4r2" in el:
             dispersion_d3.R4R2[z] = float(el["r4r2"])
-        if "d3_c6" in el:
-            n = len(dispersion_d3.REF_C6_DIAG[z])
-            dispersion_d3.REF_C6_DIAG[z] = (
-                np.asarray(el["d3_c6"])[:n].tolist()
-            )
         if "en" in el:
             object.__setattr__(params.ELEMENTS[z], "en", float(el["en"]))
-    dispersion_d3._element_ref_arrays.cache_clear()
+    if "d3_pairs" in theta:
+        pairs = np.asarray(theta["d3_pairs"])
+        pairs = 0.5 * (pairs + pairs.transpose(1, 0, 3, 2))
+        overlay = {}
+        for i, zi in enumerate(FITTED_Z):
+            for j, zj in enumerate(FITTED_Z):
+                if zi > zj:
+                    continue
+                ni = len(dispersion_d3.REF_CN[zi])
+                nj = len(dispersion_d3.REF_CN[zj])
+                overlay[f"{zi}-{zj}"] = pairs[i, j, :ni, :nj].tolist()
+        dispersion_d3.set_pair_table_overlay(overlay)
+    dispersion_d3.invalidate_caches()
     from .batch import element_basis
 
     element_basis.cache_clear()
@@ -140,7 +151,11 @@ def theta_from_overlay(path: str, variant: str = "gfn1") -> dict:
         if z not in theta["elements"]:
             continue
         for k, v in el.items():
+            if k == "d3_c6":  # legacy diagonal-only field: superseded
+                continue
             theta["elements"][z][k] = jnp.asarray(v, dtype=jnp.float64)
+    if "d3_pairs" in data:
+        theta["d3_pairs"] = jnp.asarray(data["d3_pairs"], dtype=jnp.float64)
     return theta
 
 
@@ -249,13 +264,6 @@ def _element_shell_tables(theta, variant: str, nprim: int, needed_z=None):
         "rad": atvec("rad"),
         "rcov": atvec("rcov"),
         "r4r2": atvec("r4r2"),
-        # padded reference slots hold 0: guard the sqrt so their gradient is
-        # exactly zero instead of inf * 0 = NaN
-        "d3_c6sqrt": jnp.where(
-            atvec("d3_c6") > 0.0,
-            jnp.sqrt(jnp.maximum(atvec("d3_c6"), 1e-30)),
-            0.0,
-        ),
     }
 
 
@@ -349,12 +357,19 @@ class FragmentSpec:
         at_rad = jnp.where(at_mask > 0.5, tabs["rad"][self.at_row], 1.0)
         at_rcov = jnp.where(at_mask > 0.5, tabs["rcov"][self.at_row], 0.0)
         d3_r4r2 = jnp.where(at_mask > 0.5, tabs["r4r2"][self.at_row], 0.0)
-        # (nat, MAX_REFS) diagonal reference sqrt(C6) — the APPROX D3 data
-        d3_c6s = tabs["d3_c6sqrt"][self.at_row] * (
-            base.d3_ref_c6sqrt > 0
-        ).astype(at_gam3.dtype)
+
+        # D3 pair C6 table: global geometric-mean table with the fitted
+        # element block substituted (symmetrized in the fit parameters)
+        from .dispersion_d3 import _Z_TO_IDX, full_pair_table
+
+        pairs = theta["d3_pairs"]
+        pairs = 0.5 * (pairs + jnp.transpose(pairs, (1, 0, 3, 2)))
+        table = jnp.asarray(full_pair_table(), dtype=pairs.dtype)
+        gidx = jnp.asarray([_Z_TO_IDX[z] for z in FITTED_Z])
+        table = table.at[gidx[:, None], gidx[None, :]].set(pairs)
 
         return base._replace(
+            d3_c6_pair=table,
             sh_level=sh_level,
             sh_kcn=sh_kcn,
             sh_poly=sh_poly,
@@ -368,5 +383,4 @@ class FragmentSpec:
             at_rad=at_rad,
             at_rcov=at_rcov,
             d3_r4r2=d3_r4r2,
-            d3_ref_c6sqrt=d3_c6s,
         )

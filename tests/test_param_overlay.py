@@ -35,18 +35,33 @@ def test_theta_tables_roundtrip(tmp_path):
     theta = theta_init("gfn1")
     theta["elements"][8]["levels"] = theta["elements"][8]["levels"] + 0.05
     theta["elements"][1]["rad"] = theta["elements"][1]["rad"] * 1.02
-    theta["elements"][8]["d3_c6"] = theta["elements"][8]["d3_c6"] * 1.01
+    theta["d3_pairs"] = theta["d3_pairs"] * 1.01
 
     spec = FragmentSpec(numbers, w, 0, 1)
     frag = spec.rebuild(theta)
     e_theta, _ = single_point_energy(frag.coords, frag, settings)
 
     # save as overlay JSON and apply to the production tables
+    from metalquicha_tpu.methods.xtb.dispersion_d3 import REF_CN
+    from metalquicha_tpu.methods.xtb.param_fit import FITTED_Z
+
+    pairs = 0.5 * (
+        np.asarray(theta["d3_pairs"])
+        + np.asarray(theta["d3_pairs"]).transpose(1, 0, 3, 2)
+    )
+    pair_overlay = {}
+    for i, zi in enumerate(FITTED_Z):
+        for j, zj in enumerate(FITTED_Z):
+            if zi > zj:
+                continue
+            ni, nj = len(REF_CN[zi]), len(REF_CN[zj])
+            pair_overlay[f"{zi}-{zj}"] = pairs[i, j, :ni, :nj].tolist()
     overlay = {
         "elements": {
             str(z): {k: np.asarray(v).tolist() for k, v in el.items()}
             for z, el in theta["elements"].items()
-        }
+        },
+        "d3_c6_pairs": pair_overlay,
     }
     path = tmp_path / "ov.json"
     path.write_text(json.dumps(overlay))
@@ -78,7 +93,8 @@ def test_theta_tables_roundtrip(tmp_path):
         dispersion_d3.REF_C6_DIAG.update(c6_snap)
         dispersion_d3.R4R2.clear()
         dispersion_d3.R4R2.update(r4r2_snap)
-        dispersion_d3._element_ref_arrays.cache_clear()
+        dispersion_d3._PAIR_OVERRIDES.clear()
+        dispersion_d3.invalidate_caches()
         from metalquicha_tpu.methods.xtb.batch import element_basis
 
         element_basis.cache_clear()

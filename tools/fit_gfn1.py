@@ -68,6 +68,7 @@ GFN1_TARGETS = {
     "gmbe_gly3": ("overlapping_gly3.json", -47.019271892),
     "gmbe_decane": ("nlevel_3_ov_decane.json", -33.050613974),
     "gly3_unfrag": ("hess_gly3_serial.json", -47.0179834905979),
+    "w20_mbe": ("w20_isomer.json", -115.6850246841),
 }
 
 #: GFN2 targets (single upstream GFN2 case)
@@ -92,6 +93,13 @@ GRADNORM_TARGETS = {
     "gly3ov_gnorm": ("gmbe_gly3", 0.140659014),
 }
 
+#: Hessian-Frobenius-norm targets (unfragmented, small systems only — each
+#: residual costs a 6N-displacement FD sweep with theta-differentiable
+#: gradients). name -> (energy-target providing the geometry, expected |H|_F)
+HESSNORM_TARGETS = {
+    "h3o_hnorm": ("h3o", 1.41044994221),
+}
+
 
 def _bucket(n):
     for b in (4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
@@ -102,7 +110,44 @@ def _bucket(n):
 
 TARGETS = GFN1_TARGETS
 GN_TARGETS = GRADNORM_TARGETS
+HN_TARGETS = HESSNORM_TARGETS
 VARIANT = "gfn1"
+
+#: per-class prior anchoring weights (Ha per unit parameter move): strong on
+#: published-table values, weak on the refined shape parameters.
+PRIOR_WEIGHTS = {
+    "levels": 3e-3,
+    "slater": 3e-3,
+    "gam": 3e-3,
+    "gam3": 3e-3,
+    "alpha": 3e-3,
+    "zeff": 3e-3,
+    "en": 1e-2,
+    "r4r2": 1e-3,
+    "kcn": 1e-4,
+    "shpoly": 1e-4,
+    "lgam": 1e-4,
+    "rad": 1e-4,
+    "rcov": 3e-3,
+    "d3_pairs": 1e-5,
+}
+
+
+def prior_weight_vector(theta) -> np.ndarray:
+    """Ravel-ordered per-parameter prior weights matching theta's layout."""
+    w = jax.tree.map(lambda x: x, theta)  # deep copy of structure
+    w = {
+        "elements": {
+            z: {k: jnp.full_like(v, PRIOR_WEIGHTS[k]) for k, v in el.items()}
+            for z, el in theta["elements"].items()
+        },
+    }
+    if "d3_pairs" in theta:
+        w["d3_pairs"] = jnp.full_like(
+            theta["d3_pairs"], PRIOR_WEIGHTS["d3_pairs"]
+        )
+    flat, _ = ravel_pytree(w)
+    return np.asarray(flat)
 
 
 def fragments_and_weights(name: str):
@@ -217,6 +262,65 @@ class GradNormTarget:
         return float(val), np.asarray(gf)
 
 
+class HessNormTarget:
+    """|FD Hessian|_F of an unfragmented system, differentiable in theta.
+
+    Mirrors the production pipeline (central differences of analytic
+    gradients at 0.005 Bohr, symmetrized) entirely in jnp so jax.grad
+    delivers the theta-Jacobian of the Frobenius norm."""
+
+    def __init__(self, name: str, settings):
+        from metalquicha_tpu.numerics.finite_differences import (
+            displaced_geometries,
+        )
+
+        energy_name, expected = HESSNORM_TARGETS[name]
+        self.name = name
+        self.expected = expected
+        frags, _w = fragments_and_weights(energy_name)
+        assert len(frags) == 1, "HessNormTarget supports unfragmented systems"
+        frag = frags[0]
+        nat = frag.n_total
+        h = 0.005
+
+        disp = displaced_geometries(np.asarray(frag.coords), h)  # (6N, N, 3)
+        pad = (_bucket(nat), 2 * _bucket(nat), int(2.5 * _bucket(nat)) + 1)
+        spec = FragmentSpec(
+            frag.numbers, frag.coords, frag.charge, frag.multiplicity,
+            pad_to=pad, variant=VARIANT,
+        )
+        base_coords = np.asarray(spec.base.coords)
+        coords_b = np.tile(base_coords, (len(disp), 1, 1))
+        coords_b[:, :nat] = disp
+        coords_b = jnp.asarray(coords_b)
+        n3 = 3 * nat
+
+        def norm_fn(theta):
+            frag_t = spec.rebuild(theta)
+
+            def g_of(c):
+                def e_of(cc):
+                    e, _ = single_point_energy(
+                        cc, frag_t._replace(coords=cc), settings,
+                        diff_scf_iters=8,
+                    )
+                    return e
+
+                return jax.grad(e_of)(c)
+
+            g = jax.vmap(g_of)(coords_b)[:, :nat, :].reshape(6 * nat, n3)
+            H = (g[0::2] - g[1::2]) / (2.0 * h)
+            H = 0.5 * (H + H.T)
+            return jnp.sqrt((H**2).sum())
+
+        self._fn = jax.jit(jax.value_and_grad(norm_fn))
+
+    def value_and_grad(self, theta):
+        val, grad = self._fn(theta)
+        gf, _ = ravel_pytree(grad)
+        return float(val), np.asarray(gf)
+
+
 class TargetEval:
     """One validation energy as a differentiable function of theta."""
 
@@ -305,8 +409,13 @@ def main() -> int:
 
     if args.variant == "gfn2":
         TARGETS, GN_TARGETS, VARIANT = GFN2_TARGETS, GFN2_GRADNORM_TARGETS, "gfn2"
+        HN_TARGETS = {}
+    else:
+        HN_TARGETS = HESSNORM_TARGETS
     if args.targets is None:
-        args.targets = ",".join(list(TARGETS) + list(GN_TARGETS))
+        args.targets = ",".join(
+            list(TARGETS) + list(GN_TARGETS) + list(HN_TARGETS)
+        )
 
     settings = settings_from_params(VARIANT)
     if args.seed_from:
@@ -326,6 +435,9 @@ def main() -> int:
         if n in GN_TARGETS:
             targets.append(GradNormTarget(n, settings))
             print(f"  target {n}: gradient norm [{time.time()-t0:.0f}s]")
+        elif n in HN_TARGETS:
+            targets.append(HessNormTarget(n, settings))
+            print(f"  target {n}: hessian norm [{time.time()-t0:.0f}s]")
         else:
             targets.append(TargetEval(n, settings))
             print(f"  target {n}: "
@@ -335,6 +447,9 @@ def main() -> int:
 
     flat = np.asarray(flat0, dtype=float)
     prior = np.asarray(flat0, dtype=float)
+    # per-class anchoring strengths, scaled by the --prior multiplier
+    # (interpreted relative to the default 1e-4)
+    pw = prior_weight_vector(theta0) * (args.prior / 1e-4)
     lm = args.lm
     tw = np.array([TARGET_WEIGHTS.get(n, 1.0) for n in names])
 
@@ -391,8 +506,8 @@ def main() -> int:
         dG = np.diag(G).copy()
         # Marquardt diagonal scaling: damping proportional to each column's
         # own curvature (columns span wildly different unit scales)
-        A = G + np.diag(args.prior + lm * np.maximum(dG, 1e-12 * dG.max()))
-        b = Jw.T @ rw + args.prior * (flat - prior)
+        A = G + np.diag(pw + lm * np.maximum(dG, 1e-12 * dG.max()))
+        b = Jw.T @ rw + pw * (flat - prior)
         step = np.linalg.solve(A, b)
         flat_new = flat - step
         r_new, J_new = eval_all(flat_new)
@@ -427,6 +542,20 @@ def main() -> int:
         },
         "residuals": residuals,
     }
+    if "d3_pairs" in theta:
+        from metalquicha_tpu.methods.xtb.dispersion_d3 import REF_CN
+        from metalquicha_tpu.methods.xtb.param_fit import FITTED_Z
+
+        pairs = np.asarray(theta["d3_pairs"])
+        pairs = 0.5 * (pairs + pairs.transpose(1, 0, 3, 2))
+        out["d3_pairs"] = pairs.tolist()  # raw theta block (for --seed-from)
+        out["d3_c6_pairs"] = {            # production overlay form
+            f"{zi}-{zj}": pairs[i, j, : len(REF_CN[zi]), : len(REF_CN[zj])]
+            .tolist()
+            for i, zi in enumerate(FITTED_Z)
+            for j, zj in enumerate(FITTED_Z)
+            if zi <= zj
+        }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
     print(f"wrote {args.out}")
