@@ -55,6 +55,7 @@ class ElementBasis:
     rcov_bohr: float
     rad_bohr: float
     n_ao: int
+    e0: float = 0.0
 
 
 @lru_cache(maxsize=None)
@@ -106,6 +107,7 @@ def element_basis(z: int, variant: str = "gfn1") -> ElementBasis:
         rcov_bohr=float(params.COVALENT_RADII_A[z]) * ANGSTROM_TO_BOHR,
         rad_bohr=float(params.ATOMIC_RADII_A[z]) * ANGSTROM_TO_BOHR,
         n_ao=n_ao,
+        e0=float(getattr(rec, "e0", 0.0)),
     )
 
 
@@ -150,6 +152,7 @@ class XtbBatch:
     at_en: np.ndarray
     at_rcov: np.ndarray
     at_rad: np.ndarray
+    at_e0: np.ndarray
 
     @property
     def n_fragments(self) -> int:
@@ -231,6 +234,7 @@ def build_batch(
         at_en=np.zeros((B, nat)),
         at_rcov=np.zeros((B, nat)),
         at_rad=np.full((B, nat), 1.0),
+        at_e0=np.zeros((B, nat)),
     )
 
     for b, (numbers, coords, charge, mult) in enumerate(norm):
@@ -254,6 +258,7 @@ def build_batch(
             out.at_en[b, ia] = eb.en
             out.at_rcov[b, ia] = eb.rcov_bohr
             out.at_rad[b, ia] = eb.rad_bohr
+            out.at_e0[b, ia] = eb.e0
             for s in range(eb.n_shells):
                 out.sh_atom[b, isx] = ia
                 out.sh_mask[b, isx] = 1.0

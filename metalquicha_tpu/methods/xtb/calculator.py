@@ -64,6 +64,7 @@ class FragmentData(NamedTuple):
     at_en: jnp.ndarray
     at_rcov: jnp.ndarray
     at_rad: jnp.ndarray
+    at_e0: jnp.ndarray
     d3_ref_cn: jnp.ndarray
     d3_zidx: jnp.ndarray
     d3_c6_pair: jnp.ndarray
@@ -122,6 +123,7 @@ def fragment_data_from_batch(
         at_en=f(batch.at_en),
         at_rcov=f(batch.at_rcov),
         at_rad=f(batch.at_rad),
+        at_e0=f(batch.at_e0),
         d3_ref_cn=f(np.stack([t["ref_cn"] for t in d3])),
         d3_zidx=f(np.stack([t["zidx"] for t in d3])),
         d3_c6_pair=f(
@@ -219,7 +221,11 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     q_at = jnp.zeros(nat).at[frag.sh_atom].add(q_star * frag.sh_mask)
     dipole = ((frag.atom_mask * q_at)[:, None] * coords).sum(0)
 
-    energy = e_el + e_rep + e_disp
+    # per-element atomic reference constants (zero geometric derivatives);
+    # see params_gfn1.ElementRecord.e0
+    e_atomic = (frag.at_e0 * frag.atom_mask).sum()
+
+    energy = e_el + e_rep + e_disp + e_atomic
     aux = {
         "charges": q_at,
         "scf_residual": resid,

@@ -72,6 +72,7 @@ def theta_init(variant: str = "gfn1") -> dict:
             "alpha": jnp.asarray(rec.alpha, dtype=jnp.float64),
             "zeff": jnp.asarray(rec.zeff, dtype=jnp.float64),
             "en": jnp.asarray(rec.en, dtype=jnp.float64),
+            "e0": jnp.asarray(getattr(rec, "e0", 0.0), dtype=jnp.float64),
             "rad": jnp.asarray(eb.rad_bohr, dtype=jnp.float64),
             "rcov": jnp.asarray(eb.rcov_bohr, dtype=jnp.float64),
             "r4r2": jnp.asarray(R4R2[z], dtype=jnp.float64),
@@ -136,6 +137,8 @@ def theta_to_tables(theta: dict, variant: str = "gfn1") -> None:
         object.__setattr__(rec, "gam3", float(el["gam3"]))
         object.__setattr__(rec, "alpha", float(el["alpha"]))
         object.__setattr__(rec, "zeff", float(el["zeff"]))
+        if "e0" in el:
+            object.__setattr__(rec, "e0", float(el["e0"]))
 
 
 
@@ -261,6 +264,7 @@ def _element_shell_tables(theta, variant: str, nprim: int, needed_z=None):
         "alpha": atvec("alpha"),
         "zeff": atvec("zeff"),
         "en": atvec("en"),
+        "e0": atvec("e0"),
         "rad": atvec("rad"),
         "rcov": atvec("rcov"),
         "r4r2": atvec("r4r2"),
@@ -354,6 +358,7 @@ class FragmentSpec:
         at_alpha = jnp.where(at_mask > 0.5, tabs["alpha"][self.at_row], 1.0)
         at_zeff = jnp.where(at_mask > 0.5, tabs["zeff"][self.at_row], 0.0)
         at_en = jnp.where(at_mask > 0.5, tabs["en"][self.at_row], 0.0)
+        at_e0 = jnp.where(at_mask > 0.5, tabs["e0"][self.at_row], 0.0)
         at_rad = jnp.where(at_mask > 0.5, tabs["rad"][self.at_row], 1.0)
         at_rcov = jnp.where(at_mask > 0.5, tabs["rcov"][self.at_row], 0.0)
         d3_r4r2 = jnp.where(at_mask > 0.5, tabs["r4r2"][self.at_row], 0.0)
@@ -380,6 +385,7 @@ class FragmentSpec:
             at_alpha=at_alpha,
             at_zeff=at_zeff,
             at_en=at_en,
+            at_e0=at_e0,
             at_rad=at_rad,
             at_rcov=at_rcov,
             d3_r4r2=d3_r4r2,

