@@ -62,9 +62,14 @@ from .results import MbeResult
 def _make_executor(drv: DriverConfig):
     from .methods.factory import create_calculator
     from .parallel.executor import FragmentExecutor
+    from .parallel.mesh import fragment_mesh
 
     calc = create_calculator(drv)
-    return FragmentExecutor(calc)
+    mesh = fragment_mesh(
+        global_groups=drv.global_groups,
+        nodes_per_group=drv.nodes_per_group,
+    )
+    return FragmentExecutor(calc, mesh=mesh)
 
 
 @dataclass
@@ -136,18 +141,27 @@ def _fragment_hessians(executor, fragments, displacement, drv=None):
     return hessians, dipders
 
 
-def _run_expansion(sys_geom: SystemGeometry, drv: DriverConfig, executor):
-    """Shared compute path: build fragment list, execute, assemble."""
-    calc_type = drv.calc_type
-    want_grad = calc_type in (CalcType.GRADIENT, CalcType.HESSIAN)
-    want_hess = calc_type == CalcType.HESSIAN
+@dataclass
+class _ExpansionPlan:
+    """Host-side fragment plan for one molecule (build phase of the
+    expansion, separated so multi-molecule runs can batch every molecule's
+    fragments through ONE executor pass — the TPU analog of the reference's
+    molecule round-robin, mqc_driver.f90:579-633)."""
 
+    mode: str
+    fragments: list
+    polymers: Optional[np.ndarray] = None
+    atom_sets: Optional[list] = None
+    coeffs: Optional[np.ndarray] = None
+    distances: Optional[np.ndarray] = None
+
+
+def _build_plan(sys_geom: SystemGeometry, drv: DriverConfig) -> _ExpansionPlan:
     if drv.nlevel == 0:
         polymers = enumerate_polymers(1, 1)
         sys1 = sys_geom.as_single_monomer() if sys_geom.n_monomers != 1 else sys_geom
         fragments = [build_fragment_from_indices(sys1, [0])]
-        mode = "unfragmented"
-        distances = None
+        return _ExpansionPlan("unfragmented", fragments, polymers=polymers)
     elif drv.use_gmbe:
         level = max(drv.nlevel, 1)
         primaries_tbl = enumerate_polymers(sys_geom.n_monomers, level)
@@ -163,8 +177,9 @@ def _run_expansion(sys_geom: SystemGeometry, drv: DriverConfig, executor):
         fragments = [
             build_fragment_from_atom_list(sys_geom, s) for s in atom_sets
         ]
-        mode = "gmbe"
-        distances = None
+        return _ExpansionPlan(
+            "gmbe", fragments, atom_sets=atom_sets, coeffs=coeffs
+        )
     else:
         polymers = enumerate_polymers(sys_geom.n_monomers, drv.nlevel)
         polymers = apply_distance_screening(polymers, sys_geom, drv.cutoffs)
@@ -173,39 +188,40 @@ def _run_expansion(sys_geom: SystemGeometry, drv: DriverConfig, executor):
         fragments = [
             build_fragment_from_indices(sys_geom, row[row >= 0]) for row in polymers
         ]
-        mode = "mbe"
-
-    # --- execute
-    if want_grad:
-        energies, gradients, aux = executor.run(fragments, what="gradient")
-    else:
-        energies, aux = executor.run(fragments, what="energy")
-        gradients = None
-    _check_scf_convergence(aux, drv, f"{mode} fragment evaluation")
-    dipoles = aux["dipole"]
-
-    hessians = dipders = None
-    if want_hess:
-        hessians, dipders = _fragment_hessians(
-            executor, fragments, drv.hessian.displacement, drv=drv
+        return _ExpansionPlan(
+            "mbe", fragments, polymers=polymers, distances=distances
         )
 
-    # --- assemble
+
+def _assemble_expansion(
+    plan: _ExpansionPlan,
+    sys_geom: SystemGeometry,
+    drv: DriverConfig,
+    energies,
+    gradients,
+    hessians,
+    dipoles,
+    dipders,
+) -> MoleculeOutput:
+    """Assembly + spectroscopy phase (after fragment energies are in)."""
+    want_hess = drv.calc_type == CalcType.HESSIAN
+    mode, fragments = plan.mode, plan.fragments
+
     if mode == "gmbe":
         result = compute_gmbe_pie(
             sys_geom,
             fragments,
-            coeffs,
+            plan.coeffs,
             energies,
             gradients=gradients,
             hessians=hessians,
             dipoles=dipoles,
             dipole_derivatives=dipders,
         )
-        out = MoleculeOutput(result=result, pie_atom_sets=atom_sets)
+        out = MoleculeOutput(result=result, pie_atom_sets=plan.atom_sets)
     else:
         result = compute_mbe(
-            polymers,
+            plan.polymers,
             sys_geom,
             fragments,
             energies,
@@ -213,12 +229,12 @@ def _run_expansion(sys_geom: SystemGeometry, drv: DriverConfig, executor):
             hessians=hessians,
             dipoles=dipoles,
             dipole_derivatives=dipders,
-            distances=distances,
+            distances=plan.distances,
             max_level=max(drv.nlevel, 1),
         )
         out = MoleculeOutput(
             result=result,
-            polymers=polymers if mode == "mbe" else None,
+            polymers=plan.polymers if mode == "mbe" else None,
             max_level=drv.nlevel if mode == "mbe" else 0,
         )
 
@@ -244,6 +260,66 @@ def _run_expansion(sys_geom: SystemGeometry, drv: DriverConfig, executor):
     return out
 
 
+def _run_expansion(sys_geom: SystemGeometry, drv: DriverConfig, executor):
+    """Single-molecule compute path: build plan, execute, assemble."""
+    outputs = _run_expansions([("", sys_geom)], drv, executor)
+    return outputs[""]
+
+
+def _run_expansions(systems, drv: DriverConfig, executor) -> dict:
+    """Run one or more molecules through ONE batched executor pass.
+
+    The reference round-robins independent molecules over MPI ranks
+    (mqc_driver.f90:579-633); here every molecule's fragments join the same
+    device-sharded batch, so multi-molecule inputs keep the mesh full.
+    """
+    want_grad = drv.calc_type in (CalcType.GRADIENT, CalcType.HESSIAN)
+    want_hess = drv.calc_type == CalcType.HESSIAN
+
+    plans, spans = [], []
+    all_frags = []
+    for name, sys_geom in systems:
+        try:
+            plan = _build_plan(sys_geom, drv)
+        except Exception as exc:
+            raise with_context(exc, f"molecule {name or '(single)'}")
+        start = len(all_frags)
+        all_frags.extend(plan.fragments)
+        plans.append((name, sys_geom, plan))
+        spans.append((start, len(all_frags)))
+
+    if want_grad:
+        energies, gradients, aux = executor.run(all_frags, what="gradient")
+    else:
+        energies, aux = executor.run(all_frags, what="energy")
+        gradients = None
+    _check_scf_convergence(aux, drv, "fragment evaluation")
+    dipoles = aux["dipole"]
+
+    hessians = dipders = None
+    if want_hess:
+        hessians, dipders = _fragment_hessians(
+            executor, all_frags, drv.hessian.displacement, drv=drv
+        )
+
+    outputs = {}
+    for (name, sys_geom, plan), (a, b) in zip(plans, spans):
+        try:
+            outputs[name] = _assemble_expansion(
+                plan,
+                sys_geom,
+                drv,
+                energies[a:b],
+                gradients[a:b] if gradients is not None else None,
+                hessians[a:b] if hessians is not None else None,
+                dipoles[a:b],
+                dipders[a:b] if dipders is not None else None,
+            )
+        except Exception as exc:
+            raise with_context(exc, f"molecule {name or '(single)'}")
+    return outputs
+
+
 def run_calculation(
     cfg: MqcConfig,
     input_path: str = "input.mqc",
@@ -258,12 +334,7 @@ def run_calculation(
     executor = executor or _make_executor(drv)
     systems = config_to_system_geometries(cfg)
 
-    outputs = {}
-    for name, sys_geom in systems:
-        try:
-            outputs[name] = _run_expansion(sys_geom, drv, executor)
-        except Exception as exc:  # annotate with molecule context
-            raise with_context(exc, f"molecule {name or '(single)'}")
+    outputs = _run_expansions(systems, drv, executor)
 
     if write_json and not drv.skip_json_output:
         base = os.path.splitext(os.path.basename(input_path))[0]

@@ -275,3 +275,139 @@ def test_executor_bucketing_and_mesh():
     np.testing.assert_allclose(energies2, energies, atol=1e-11)
     assert grads[0].shape == (3, 3)
     assert grads[5].shape == (9, 3)
+
+
+def test_device_count_invariance_mbe2(water_dimer_cfg):
+    """MBE(2) totals must be identical on 1, 2, and 8 devices.
+
+    The TPU analog of the reference's serial == mpirun invariant
+    (validation runs both; mqc_driver.f90:440-445)."""
+    import jax
+
+    from metalquicha_tpu.driver import _make_executor, _run_expansion
+    from metalquicha_tpu.io.adapter import config_to_system_geometry
+    from metalquicha_tpu.parallel.executor import FragmentExecutor
+    from metalquicha_tpu.parallel.mesh import fragment_mesh
+
+    drv = config_to_driver(water_dimer_cfg)
+    sys_geom = config_to_system_geometry(water_dimer_cfg)
+
+    totals = []
+    for ndev in (1, 2, 8):
+        mesh = fragment_mesh(jax.devices()[:ndev])
+        ex = FragmentExecutor(mesh=mesh)
+        out = _run_expansion(sys_geom, drv, ex)
+        totals.append(out.result.total_energy)
+    np.testing.assert_allclose(totals, totals[0], atol=1e-10)
+
+
+def test_group_mesh_topology_and_invariance(water_dimer_cfg):
+    """global_groups maps to a ('group','frag') mesh; results unchanged."""
+    import jax
+
+    from metalquicha_tpu.driver import _run_expansion
+    from metalquicha_tpu.io.adapter import config_to_system_geometry
+    from metalquicha_tpu.parallel.executor import FragmentExecutor
+    from metalquicha_tpu.parallel.mesh import fragment_mesh
+
+    drv = config_to_driver(water_dimer_cfg)
+    sys_geom = config_to_system_geometry(water_dimer_cfg)
+
+    mesh1 = fragment_mesh(jax.devices())
+    assert mesh1.axis_names == ("frag",)
+    mesh2 = fragment_mesh(jax.devices(), global_groups=2)
+    assert mesh2.axis_names == ("group", "frag")
+    assert mesh2.devices.shape == (2, 4)
+    # nodes_per_group variant and non-divisor rounding
+    mesh3 = fragment_mesh(jax.devices(), nodes_per_group=4)
+    assert mesh3.devices.shape == (2, 4)
+    mesh4 = fragment_mesh(jax.devices(), global_groups=3)  # 3 !| 8 -> 2
+    assert mesh4.devices.shape == (2, 4)
+
+    e_ref = _run_expansion(
+        sys_geom, drv, FragmentExecutor(mesh=mesh1)
+    ).result.total_energy
+    e_grp = _run_expansion(
+        sys_geom, drv, FragmentExecutor(mesh=mesh2)
+    ).result.total_energy
+    np.testing.assert_allclose(e_grp, e_ref, atol=1e-10)
+
+
+def test_multi_molecule_single_executor_pass(monkeypatch):
+    """Multi-molecule runs batch all molecules' fragments into ONE
+    executor pass (vs the reference's molecule round-robin)."""
+    from metalquicha_tpu import driver as drv_mod
+    from metalquicha_tpu.parallel.executor import FragmentExecutor
+
+    mqc = MULTI_MOL_MQC if "MULTI_MOL_MQC" in globals() else None
+    if mqc is None:
+        # reuse the two-water geometry as two separate molecules
+        mqc = textwrap.dedent("""
+        %schema
+        name = mqc-frag
+        version = 1.0
+        index_base = 0
+        units = angstrom
+        end
+
+        %model
+        method = XTB-GFN1
+        end
+
+        %driver
+        type = Energy
+        end
+
+        %molecules
+        nmol = 2
+
+        %molecule
+        name = w1
+        %structure
+        charge = 0
+        multiplicity = 1
+        end
+        %geometry
+        3
+
+        O 0.0 0.0 0.117
+        H 0.0 0.757 -0.471
+        H 0.0 -0.757 -0.471
+        end
+        end
+
+        %molecule
+        name = w2
+        %structure
+        charge = 0
+        multiplicity = 1
+        end
+        %geometry
+        3
+
+        O 9.0 0.0 0.117
+        H 9.0 0.757 -0.471
+        H 9.0 -0.757 -0.471
+        end
+        end
+        end
+        """)
+    cfg = parse_mqc_string(mqc)
+
+    calls = []
+    orig_run = FragmentExecutor.run
+
+    def counting_run(self, fragments, what="energy"):
+        calls.append(len(fragments))
+        return orig_run(self, fragments, what)
+
+    monkeypatch.setattr(FragmentExecutor, "run", counting_run)
+    outputs = run_calculation(cfg, write_json=False)
+    assert set(outputs) == {"w1", "w2"}
+    # ONE executor pass containing both molecules' fragments
+    assert calls == [2]
+    np.testing.assert_allclose(
+        outputs["w1"].result.total_energy,
+        outputs["w2"].result.total_energy,
+        atol=1e-9,
+    )
