@@ -238,6 +238,25 @@ def _assemble_expansion(
             max_level=drv.nlevel if mode == "mbe" else 0,
         )
 
+    # verbose observability: per-fragment XYZ + per-level deltaE breakdown
+    # (mqc_mbe_io.f90:48-155; gated on verbose like the reference)
+    if drv.method.verbose:
+        from .frag.mbe_io import print_detailed_breakdown, print_fragment_xyz
+
+        for i, frag in enumerate(fragments, start=1):
+            print_fragment_xyz(i, frag)
+        if (
+            mode == "mbe"
+            and result.fragment_energies is not None
+            and result.delta_energies is not None
+        ):
+            print_detailed_breakdown(
+                plan.polymers,
+                result.fragment_energies,
+                result.delta_energies,
+                max(drv.nlevel, 1),
+            )
+
     # --- vibrational + thermochemistry when a Hessian was produced
     if want_hess and result.hessian is not None:
         vib = compute_vibrational_analysis(

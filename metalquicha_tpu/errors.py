@@ -36,6 +36,10 @@ class InputError(MqcError):
     """Invalid user input (.mqc / JSON / geometry)."""
 
 
+class ParseError(InputError):
+    """Malformed input text / command line (reference ERROR_PARSE class)."""
+
+
 class ConvergenceError(MqcError):
     """An SCF or iterative solver failed to converge."""
 

@@ -114,12 +114,98 @@ class XtbConfig:
 
 
 @dataclass
+class DftConfig:
+    """DFT settings (mqc_method_config.f90:66-93). The DFT method itself is
+    a placeholder in the reference too; the config round-trips inputs."""
+
+    functional: str = "b3lyp"
+    grid_type: str = "medium"
+    radial_points: int = 75
+    angular_points: int = 302
+    use_density_fitting: bool = False
+    aux_basis_set: str = ""
+    use_dispersion: bool = False
+    dispersion_type: str = "d3bj"
+
+
+@dataclass
+class McscfConfig:
+    """MCSCF/CASSCF settings (mqc_method_config.f90:96-134)."""
+
+    n_active_electrons: int = 0
+    n_active_orbitals: int = 0
+    n_inactive_orbitals: int = -1
+    n_states: int = 1
+    state_weights: Optional[list] = None
+    max_macro_iter: int = 100
+    max_micro_iter: int = 50
+    orbital_convergence: float = 1.0e-6
+    ci_convergence: float = 1.0e-8
+    use_pt2: bool = False
+    pt2_type: str = "nevpt2"
+    ipea_shift: float = 0.25
+    imaginary_shift: float = 0.0
+
+
+@dataclass
+class CorrelationConfig:
+    """Shared post-HF correlation settings (mqc_method_config.f90:137-171)."""
+
+    energy_convergence: float = 1.0e-8
+    n_frozen_core: int = -1
+    freeze_core: bool = True
+    use_df: bool = True
+    aux_basis: str = ""
+    use_local: bool = False
+    local_type: str = "dlpno"
+    pno_threshold: float = 1.0e-7
+    use_scs: bool = False
+    scs_ss: float = 1.0 / 3.0
+    scs_os: float = 1.2
+
+
+@dataclass
+class CcConfig:
+    """Coupled-cluster settings (mqc_method_config.f90:174-200)."""
+
+    max_iter: int = 100
+    amplitude_convergence: float = 1.0e-7
+    include_triples: bool = False
+    perturbative_triples: bool = True
+    use_diis: bool = True
+    diis_size: int = 8
+    n_roots: int = 0
+    eom_type: str = "ee"
+
+
+@dataclass
+class F12Config:
+    """F12 explicitly-correlated settings (mqc_method_config.f90:203-223)."""
+
+    geminal_exponent: float = 1.0
+    ansatz: str = "3c"
+    cabs_basis: str = ""
+    optri_basis: str = ""
+    use_exponent_fit: bool = False
+    scale_triples: bool = True
+
+
+@dataclass
 class MethodConfig:
+    """Master method configuration mirroring the reference's composition
+    (mqc_method_config.f90:226-266): common settings + per-family configs."""
+
     method_type: MethodType = MethodType.GFN1
     basis: str = ""
     aux_basis: str = ""
+    use_spherical: bool = True
     scf: ScfConfig = field(default_factory=ScfConfig)
     xtb: XtbConfig = field(default_factory=XtbConfig)
+    dft: DftConfig = field(default_factory=DftConfig)
+    mcscf: McscfConfig = field(default_factory=McscfConfig)
+    corr: CorrelationConfig = field(default_factory=CorrelationConfig)
+    cc: CcConfig = field(default_factory=CcConfig)
+    f12: F12Config = field(default_factory=F12Config)
     verbose: bool = False
 
 

@@ -86,7 +86,13 @@ class FragmentExecutor:
         return bucket_atoms, nsh, nao
 
     def run(self, fragments, what: str = "energy"):
+        import time
+
+        from ..logging_ import global_logger as logger
+
         n = len(fragments)
+        t0 = time.time()
+        n_done = 0
         energies = np.zeros(n)
         gradients = [None] * n if what == "gradient" else None
         aux_out = {
@@ -126,6 +132,16 @@ class FragmentExecutor:
                 aux_out["scf_residual"][i] = res[slot]
                 if g is not None:
                     gradients[i] = g[slot][:n_at]
+
+            # progress heartbeat, the batched analog of the reference's
+            # "Processed k/N fragments [t s]" 10% lines
+            # (mqc_mbe_mpi_fragment_distribution_scheme.F90:608-613)
+            n_done += n_real
+            if n > 1:
+                logger.info(
+                    f"  Processed {n_done}/{n} fragments "
+                    f"[{time.time() - t0:.2f} s]"
+                )
 
         if what == "gradient":
             return energies, gradients, aux_out

@@ -356,3 +356,71 @@ def test_parse_reference_format_compat():
     drv = config_to_driver(cfg)
     assert drv.method.method_type == MethodType.GFN1
     assert drv.method.verbose
+
+
+def test_legacy_cli_parser():
+    """Legacy <xyz> <basis> parser (mqc_cli_parser.f90:29-96)."""
+    import pytest as _pytest
+
+    from metalquicha_tpu.errors import ParseError
+    from metalquicha_tpu.io.cli_parser import (
+        CliArgs,
+        HelpRequested,
+        parse_command_line,
+    )
+
+    args = parse_command_line(["w.xyz", "cc-pvdz"])
+    assert args == CliArgs("w.xyz", "cc-pvdz")
+    with _pytest.raises(HelpRequested):
+        parse_command_line(["--help"])
+    with _pytest.raises(ParseError):
+        parse_command_line(["only_one"])
+    with _pytest.raises(ParseError):
+        parse_command_line(["a", "b", "c"])
+
+
+def test_method_config_families_roundtrip():
+    """dft/mcscf/correlation/cc/f12 config structs exist with the
+    reference's defaults (mqc_method_config.f90:66-223)."""
+    from metalquicha_tpu.io.adapter import MethodConfig
+
+    mc = MethodConfig()
+    assert mc.dft.functional == "b3lyp"
+    assert mc.dft.dispersion_type == "d3bj"
+    assert mc.mcscf.pt2_type == "nevpt2"
+    assert mc.mcscf.ipea_shift == 0.25
+    assert mc.corr.local_type == "dlpno"
+    assert abs(mc.corr.scs_ss - 1.0 / 3.0) < 1e-15
+    assert mc.cc.perturbative_triples is True
+    assert mc.f12.ansatz == "3c"
+    assert mc.use_spherical is True
+
+
+def test_verbose_breakdown_output(capsys):
+    """Per-fragment XYZ + deltaE breakdown at verbose level
+    (mqc_mbe_io.f90:48-155)."""
+    import numpy as np
+
+    from metalquicha_tpu.frag.mbe_io import (
+        get_frag_level_name,
+        print_detailed_breakdown,
+    )
+    from metalquicha_tpu.logging_ import global_logger as logger
+
+    assert get_frag_level_name(2) == "dimers"
+    assert get_frag_level_name(11) == "11-mers"
+
+    old = logger.level
+    logger.set_level("verbose")
+    try:
+        polymers = np.array([[0, -1], [1, -1], [0, 1]])
+        print_detailed_breakdown(
+            polymers, np.array([-1.0, -2.0, -3.1]), np.array([0, 0, -0.1]), 2
+        )
+    finally:
+        logger.level = old
+    outp = capsys.readouterr()
+    text = outp.out + outp.err
+    assert "Monomers (2 fragments):" in text
+    assert "Dimers (1 fragments):" in text
+    assert "Fragment [1,2]" in text and "deltaE:" in text
