@@ -103,8 +103,8 @@ class XtbConfig:
     electronic_temp: float = DEFAULT_ELECTRONIC_TEMP
     solvent: str = ""
     solvation_model: str = ""  # "", "alpb", "gbsa", "cpcm"
-    use_cds: bool = False
-    use_shift: bool = False
+    use_cds: bool = True
+    use_shift: bool = True
     dielectric: Optional[float] = None
     cpcm_nang: int = 110
     cpcm_rscale: float = 1.0

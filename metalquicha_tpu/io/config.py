@@ -89,8 +89,9 @@ class MqcConfig:
     # %xtb
     solvent: str = ""
     solvation_model: str = ""
-    use_cds: bool = False
-    use_shift: bool = False
+    # reference defaults: ON (mqc_config_parser.F90:80-81)
+    use_cds: bool = True
+    use_shift: bool = True
     dielectric: Optional[float] = None
     cpcm_nang: int = DEFAULT_CPCM_NANG
     cpcm_rscale: float = DEFAULT_CPCM_RSCALE

@@ -71,6 +71,7 @@ class FragmentData(NamedTuple):
     d3_r4r2: jnp.ndarray
     solv_rvdw: jnp.ndarray
     solv_sx: jnp.ndarray
+    solv_tension: jnp.ndarray
     solv_scalars: jnp.ndarray
 
 
@@ -82,12 +83,16 @@ def fragment_data_from_batch(
         solv = [solvation.host_tables(batch.numbers[b]) for b in range(batch.n_fragments)]
         solv_rvdw = np.stack([t["solv_rvdw"] for t in solv])
         solv_sx = np.stack([t["solv_sx"] for t in solv])
+        solv_tension = np.stack(
+            [t.get("solv_tension", np.zeros_like(t["solv_rvdw"])) for t in solv]
+        )
         solv_scalars = np.tile(
             solvation.default_scalars(), (batch.n_fragments, 1)
         )
     else:
         solv_rvdw = np.zeros_like(batch.at_rcov)
         solv_sx = np.zeros_like(batch.at_rcov)
+        solv_tension = np.zeros_like(batch.at_rcov)
         solv_scalars = np.zeros((batch.n_fragments, 4))
 
     def f(x):
@@ -135,6 +140,7 @@ def fragment_data_from_batch(
         d3_r4r2=f(np.stack([t["r4r2"] for t in d3])),
         solv_rvdw=f(solv_rvdw),
         solv_sx=f(solv_sx),
+        solv_tension=f(solv_tension),
         solv_scalars=f(solv_scalars),
     )
 
@@ -226,6 +232,10 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     e_atomic = (frag.at_e0 * frag.atom_mask).sum()
 
     energy = e_el + e_rep + e_disp + e_atomic
+    # CDS surface + solution-state shift terms (ALPB/GBSA; reference wires
+    # them via tblite and defaults them ON, mqc_method_xtb.f90:532-554)
+    if solvation is not None and hasattr(solvation, "surface_energy"):
+        energy = energy + solvation.surface_energy(coords, frag)
     aux = {
         "charges": q_at,
         "scf_residual": resid,

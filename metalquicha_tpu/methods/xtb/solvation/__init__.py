@@ -66,6 +66,8 @@ def make_solvation_model(xtb_config, variant: str):
             alpb=(model == "alpb"),
             variant=variant,
             solvent=(xtb_config.solvent or "water").strip().lower(),
+            use_cds=xtb_config.use_cds,
+            use_shift=xtb_config.use_shift,
         )
     if model == "cpcm":
         from .cpcm import CpcmSolvation

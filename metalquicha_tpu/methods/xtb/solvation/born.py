@@ -64,6 +64,42 @@ RHO_OFFSET = 0.09 * ANGSTROM_TO_BOHR
 #: ALPB alpha constant
 ALPB_ALPHA = 0.571412
 
+# ---------------------------------------------------------------------------
+# CDS (cavity-dispersion-surface) + solution-state shift terms
+# (reference plumbs both through tblite and defaults them ON for ALPB/GBSA,
+# mqc_method_xtb.f90:532-554, mqc_config_parser.F90:80-81; "not for CPCM")
+# ---------------------------------------------------------------------------
+
+#: solvent-accessible-surface probe radius (water) — CALIBRATE
+PROBE_RADIUS = 1.4 * ANGSTROM_TO_BOHR
+
+#: SASA burial switching smoothness (Bohr)
+SASA_SWITCH = 0.6
+
+
+def _tension_table():
+    """Per-element CDS surface tensions (Ha/Bohr^2), water solvent.
+
+    CALIBRATE placeholders at tblite-like magnitudes (the reference
+    validation suite contains no flag-toggled cases to pin them; signs
+    follow the usual GBSA water parameterization: hydrophobic C positive
+    cost removed... kept small)."""
+    t = np.zeros(119)
+    t[1:19] = 1.0e-5 * np.array([
+        -0.8, 0.0,
+        0.0, 0.0, 0.0, -0.3, 0.6, 1.2, 1.0, 0.0,
+        0.0, 0.0, 0.0, 0.0, 0.5, 0.8, 1.0, 0.0,
+    ])
+    return t
+
+
+SURFACE_TENSION = _tension_table()
+
+#: solution-state (reference state) shift, Hartree — CALIBRATE.
+#: RT ln(24.46) at 298.15 K (1 bar gas -> 1 M solution convention).
+GSHIFT = {"water": 0.003018, "h2o": 0.003018}
+GSHIFT_DEFAULT = 0.003018
+
 
 @dataclass
 class BornSolvation:
@@ -72,33 +108,83 @@ class BornSolvation:
     variant: str = "gfn1"
     solvent: str = "water"
     kind: str = "born"
+    #: CDS / solution-state shift terms (reference defaults: ON,
+    #: mqc_config_parser.F90:80-81)
+    use_cds: bool = True
+    use_shift: bool = True
+    #: angular points for the SASA integral (exact Lebedev order)
+    sasa_nang: int = 50
 
     @property
     def param_set(self):
         return PARAM_SETS["alpb" if self.alpb else "gbsa"]
 
     def host_tables(self, numbers):
-        """Per-atom arrays: vdW radius and descreening factor (Bohr)."""
+        """Per-atom arrays: vdW radius, descreening factor, CDS tension."""
         ps = self.param_set
         nat = len(numbers)
         rvdw = np.zeros(nat)
         sx = np.zeros(nat)
+        tension = np.zeros(nat)
         for i, z in enumerate(numbers):
             z = int(z)
             if z == 0:
                 continue
             rvdw[i] = ps["vdw"][z] * ANGSTROM_TO_BOHR
             sx[i] = ps["descreen"][z]
-        return {"solv_rvdw": rvdw, "solv_sx": sx}
+            if self.use_cds:
+                tension[i] = SURFACE_TENSION[z]
+        return {"solv_rvdw": rvdw, "solv_sx": sx, "solv_tension": tension}
 
     # ---- engine-side (jnp, differentiable) --------------------------------
 
     def default_scalars(self):
-        """[rho_offset, alpb_alpha, unused, unused] (Bohr / dimensionless)."""
+        """[rho_offset, alpb_alpha, gshift, probe] (Bohr / Ha)."""
         ps = self.param_set
-        return np.array(
-            [ps["rho_offset_a"] * ANGSTROM_TO_BOHR, ps["alpha"], 0.0, 0.0]
+        gshift = (
+            GSHIFT.get(self.solvent, GSHIFT_DEFAULT) if self.use_shift else 0.0
         )
+        return np.array(
+            [ps["rho_offset_a"] * ANGSTROM_TO_BOHR, ps["alpha"],
+             gshift, PROBE_RADIUS]
+        )
+
+    def surface_energy(self, coords, frag):
+        """CDS (tension * smooth SASA) + solution-state shift.
+
+        Uses frag.solv_rvdw/solv_tension and scalars [2]=gshift, [3]=probe.
+        Zero when both flags are off (tensions and gshift are zeroed)."""
+        if not (self.use_cds or self.use_shift):
+            return 0.0
+        from .grids import angular_grid
+
+        rvdw = frag.solv_rvdw
+        tension = frag.solv_tension
+        atom_mask = frag.atom_mask
+        gshift = frag.solv_scalars[2]
+        probe = frag.solv_scalars[3]
+
+        pts_np, w_np = angular_grid(self.sasa_nang)
+        unit = jnp.asarray(pts_np, dtype=coords.dtype)
+        w = jnp.asarray(w_np, dtype=coords.dtype)
+
+        nat = coords.shape[0]
+        rs = jnp.where(rvdw > 0, rvdw, 1.0) + probe  # SAS radii
+        pts = coords[:, None, :] + rs[:, None, None] * unit[None, :, :]
+        d_at = jnp.sqrt(
+            ((pts[:, :, None, :] - coords[None, None, :, :]) ** 2).sum(-1)
+            + 1e-30
+        )
+        signed = d_at - rs[None, None, :]
+        sw = 1.0 / (1.0 + jnp.exp(-signed / SASA_SWITCH))
+        not_self = 1.0 - jnp.eye(nat)[:, None, :]
+        sw = jnp.where(
+            (not_self > 0.5) & (atom_mask[None, None, :] > 0.5), sw, 1.0
+        )
+        exposed = (sw.prod(-1) * w[None, :]).sum(-1)  # fraction in [0,1]
+        sasa = 4.0 * jnp.pi * rs**2 * exposed * atom_mask
+        e_cds = (tension * sasa).sum()
+        return e_cds + gshift
 
     def born_radii(self, coords, rvdw, sx, atom_mask, rho_offset=None):
         """OBC Born radii (nat,) in Bohr; padded atoms get radius 1."""

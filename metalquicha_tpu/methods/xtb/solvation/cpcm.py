@@ -7,11 +7,13 @@ carries a full angular grid; buried points are smoothly switched off via
 their effective area (their self-interaction diverges, driving their charge
 to zero) — no dynamic point counts, so the whole solve jits and batches.
 
-Grid: spherical Fibonacci points (equal weights). CALIBRATE: the reference
-stack uses Lebedev grids (cpcm_nang in the input selects the order,
-/root/reference/src/methods/mqc_method_xtb.f90:557-671); Fibonacci converges
-to the same surface integrals at these point counts but is not point-wise
-identical.
+Grid: exact Lebedev rules for tabulated orders, Gauss-Legendre x phi
+product quadrature otherwise (grids.angular_grid) — the reference stack
+uses Lebedev-Laikov grids (cpcm_nang selects the order,
+/root/reference/src/methods/mqc_method_xtb.f90:557-671); the production
+orders' Laikov weight tables are not reproducible offline, so large orders
+use the spectrally-exact product rule and the CPCM scalars are calibrated
+on the grid actually used (see grids.py).
 """
 
 from __future__ import annotations
@@ -59,11 +61,15 @@ class CpcmSolvation:
         return np.array([COSMO_X, SELF_INTERACTION, 0.0, 0.0])
 
     def gamma_atoms(self, coords, rvdw, sx, atom_mask, scalars=None):
+        from .grids import angular_grid
+
         cosmo_x = scalars[0] if scalars is not None else COSMO_X
         zeta = scalars[1] if scalars is not None else SELF_INTERACTION
         nat = coords.shape[0]
-        nang = self.nang
-        unit = jnp.asarray(fibonacci_sphere(nang), dtype=coords.dtype)
+        pts_np, w_np = angular_grid(self.nang)
+        nang = len(w_np)
+        unit = jnp.asarray(pts_np, dtype=coords.dtype)
+        gw = jnp.asarray(w_np, dtype=coords.dtype)
 
         radii = jnp.where(rvdw > 0, rvdw, 1.0)
         # surface points: (nat, nang, 3)
@@ -82,7 +88,7 @@ class CpcmSolvation:
             (not_self > 0.5) & (atom_mask[None, None, :] > 0.5), sw, 1.0
         )
         weight = sw.prod(-1) * atom_mask[:, None]  # (nat, nang)
-        area = (4.0 * jnp.pi / nang) * radii[:, None] ** 2 * weight
+        area = (4.0 * jnp.pi * gw[None, :]) * radii[:, None] ** 2 * weight
         area_flat = area.reshape(nat * nang)
 
         # A matrix

@@ -179,3 +179,68 @@ def test_h_2s_orthogonalized():
     aj = a2[None, :]
     s = (2.0 * np.sqrt(ai * aj) / (ai + aj)) ** 1.5
     assert abs(c1 @ s @ c2) < 1e-12
+
+
+def test_angular_grids_exactness():
+    """Exact small Lebedev rules + spectrally-exact product grids."""
+    import numpy as np
+
+    from metalquicha_tpu.methods.xtb.solvation.grids import angular_grid
+
+    for n, deg in ((6, 3), (14, 5), (26, 7), (38, 9), (50, 11)):
+        pts, w = angular_grid(n)
+        assert len(w) == n
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-14)
+        np.testing.assert_allclose(pts[:, 0] ** 2 @ w, 1 / 3, atol=1e-13)
+        if deg >= 9:
+            np.testing.assert_allclose(pts[:, 0] ** 8 @ w, 1 / 9, atol=1e-13)
+    pts, w = angular_grid(110)  # product rule fallback
+    assert len(w) >= 110
+    np.testing.assert_allclose(pts[:, 2] ** 8 @ w, 1 / 9, atol=1e-13)
+
+
+def test_cds_and_shift_flags_change_energy():
+    """use_cds/use_shift default ON and change the solvated energy in the
+    documented direction (mqc_method_xtb.f90:532-554; reference defaults
+    mqc_config_parser.F90:80-81)."""
+    import numpy as np
+
+    from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
+    from metalquicha_tpu.geometry import (
+        SystemGeometry,
+        build_fragment_from_indices,
+    )
+    from metalquicha_tpu.methods.xtb.calculator import XtbCalculator
+    from metalquicha_tpu.methods.xtb.solvation.born import BornSolvation
+
+    w = SystemGeometry(
+        numbers=[8, 1, 1],
+        coords=np.array(
+            [[0, 0, 0], [0, 0, 0.9572], [0.9239, 0, -0.2399]]
+        ) * ANGSTROM_TO_BOHR,
+        fragment_atoms=[np.arange(3)],
+        fragment_charges=[0],
+        fragment_multiplicities=[1],
+    )
+    fr = build_fragment_from_indices(w, [0])
+
+    def energy(**kw):
+        model = BornSolvation(dielectric=80.2, alpb=True, **kw)
+        calc = XtbCalculator(variant="gfn1", solvation=model)
+        e, _ = calc.energies(calc.make_batch([fr]))
+        return float(np.asarray(e)[0])
+
+    e00 = energy(use_cds=False, use_shift=False)
+    e10 = energy(use_cds=True, use_shift=False)
+    e01 = energy(use_cds=False, use_shift=True)
+    e11 = energy(use_cds=True, use_shift=True)
+    # defaults are ON
+    e_def = energy()
+    assert e_def == e11
+    # shift adds the positive solution-state correction exactly
+    from metalquicha_tpu.methods.xtb.solvation.born import GSHIFT_DEFAULT
+
+    np.testing.assert_allclose(e01 - e00, GSHIFT_DEFAULT, atol=1e-12)
+    # CDS is additive and nonzero for a water-sized cavity
+    assert abs(e10 - e00) > 1e-4
+    np.testing.assert_allclose(e11 - e10, e01 - e00, atol=1e-12)

@@ -77,10 +77,17 @@ def build_eval():
     }
 
     jitted = {}
+    tensions = {}
     for name, model in models.items():
-        def e_of(rvdw, sx, scalars, model=model):
+        tabs = model.host_tables(numbers)
+        tensions[name] = jnp.asarray(
+            tabs.get("solv_tension", np.zeros(len(numbers)))
+        )
+
+        def e_of(rvdw, sx, scalars, model=model, name=name):
             frag = base._replace(
-                solv_rvdw=rvdw, solv_sx=sx, solv_scalars=scalars
+                solv_rvdw=rvdw, solv_sx=sx, solv_scalars=scalars,
+                solv_tension=tensions[name],
             )
             e, _ = single_point_energy(
                 frag.coords, frag, settings, solvation=model
@@ -92,10 +99,14 @@ def build_eval():
     def energies(x):
         rv_a = jnp.asarray(np.where(is_h, x[0], x[1]) * ANGSTROM_TO_BOHR)
         sx_a = jnp.asarray(np.where(is_h, x[2], x[3]))
-        sc_a = jnp.asarray([x[4] * ANGSTROM_TO_BOHR, x[5], 0.0, 0.0])
+        sc_a = jnp.asarray(
+            [x[4] * ANGSTROM_TO_BOHR, x[5],
+             born_mod.GSHIFT_DEFAULT, born_mod.PROBE_RADIUS])
         rv_g = jnp.asarray(np.where(is_h, x[6], x[7]) * ANGSTROM_TO_BOHR)
         sx_g = jnp.asarray(np.where(is_h, x[8], x[9]))
-        sc_g = jnp.asarray([x[10] * ANGSTROM_TO_BOHR, 0.0, 0.0, 0.0])
+        sc_g = jnp.asarray(
+            [x[10] * ANGSTROM_TO_BOHR, 0.0,
+             born_mod.GSHIFT_DEFAULT, born_mod.PROBE_RADIUS])
         sc_c = jnp.asarray([x[11], x[12], 0.0, 0.0])
         return {
             "alpb": float(jitted["alpb"](rv_a, sx_a, sc_a)),
