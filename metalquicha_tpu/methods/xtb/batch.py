@@ -56,6 +56,7 @@ class ElementBasis:
     rad_bohr: float
     n_ao: int
     e0: float = 0.0
+    xbond: float = 0.0
 
 
 @lru_cache(maxsize=None)
@@ -87,7 +88,9 @@ def element_basis(z: int, variant: str = "gfn1") -> ElementBasis:
                 )
 
     pol = rec.polarization if rec.polarization else tuple(False for _ in range(nsh))
-    n_ao = int(sum(2 * l + 1 if l < 2 else 6 for l in shell_l))
+    # spherical AO counts: 1 (s), 3 (p), 5 (d; cartesian components are
+    # contracted into spherical harmonics at batch-build time)
+    n_ao = int(sum(2 * l + 1 for l in shell_l))
     return ElementBasis(
         z=z,
         n_shells=nsh,
@@ -108,6 +111,7 @@ def element_basis(z: int, variant: str = "gfn1") -> ElementBasis:
         rad_bohr=float(params.ATOMIC_RADII_A[z]) * ANGSTROM_TO_BOHR,
         n_ao=n_ao,
         e0=float(getattr(rec, "e0", 0.0)),
+        xbond=float(getattr(rec, "xbond", 0.0)),
     )
 
 
@@ -141,7 +145,7 @@ class XtbBatch:
     # AOs
     ao_atom: np.ndarray      # (B, nao)
     ao_shell: np.ndarray     # (B, nao)
-    ao_lxyz: np.ndarray      # (B, nao, 3)
+    ao_lxyz: np.ndarray      # (B, nao, nprim, 3) cartesian powers PER ENTRY
     ao_mask: np.ndarray      # (B, nao)
     prim_alpha: np.ndarray   # (B, nao, nprim)
     prim_coeff: np.ndarray   # (B, nao, nprim) includes cartesian norms
@@ -153,6 +157,7 @@ class XtbBatch:
     at_rcov: np.ndarray
     at_rad: np.ndarray
     at_e0: np.ndarray
+    at_xbond: np.ndarray
 
     @property
     def n_fragments(self) -> int:
@@ -172,8 +177,11 @@ def _sizes_for(numbers_list, variant: str):
             a += 1
             s += eb.n_shells
             o += eb.n_ao
-            for al in eb.prim_alpha:
-                nprim = max(nprim, len(al))
+            for l, al in zip(eb.shell_l, eb.prim_alpha):
+                # d AOs fold up to 3 cartesian components into the
+                # primitive axis (spherical-harmonic contraction)
+                comps = 3 if int(l) == 2 else 1
+                nprim = max(nprim, comps * len(al))
         nat, nsh, nao = max(nat, a), max(nsh, s), max(nao, o)
     return nat, nsh, nao, nprim
 
@@ -224,7 +232,7 @@ def build_batch(
         sh_pol=np.zeros((B, nsh)),
         ao_atom=np.zeros((B, nao), dtype=np.int64),
         ao_shell=np.zeros((B, nao), dtype=np.int64),
-        ao_lxyz=np.zeros((B, nao, 3), dtype=np.int64),
+        ao_lxyz=np.zeros((B, nao, nprim, 3), dtype=np.int64),
         ao_mask=np.zeros((B, nao)),
         prim_alpha=np.zeros((B, nao, nprim)),
         prim_coeff=np.zeros((B, nao, nprim)),
@@ -235,6 +243,7 @@ def build_batch(
         at_rcov=np.zeros((B, nat)),
         at_rad=np.full((B, nat), 1.0),
         at_e0=np.zeros((B, nat)),
+        at_xbond=np.zeros((B, nat)),
     )
 
     for b, (numbers, coords, charge, mult) in enumerate(norm):
@@ -259,6 +268,7 @@ def build_batch(
             out.at_rcov[b, ia] = eb.rcov_bohr
             out.at_rad[b, ia] = eb.rad_bohr
             out.at_e0[b, ia] = eb.e0
+            out.at_xbond[b, ia] = eb.xbond
             for s in range(eb.n_shells):
                 out.sh_atom[b, isx] = ia
                 out.sh_mask[b, isx] = 1.0
@@ -270,18 +280,40 @@ def build_batch(
                 out.sh_refocc[b, isx] = eb.shell_refocc[s]
                 out.sh_pol[b, isx] = float(eb.shell_pol[s])
                 l = int(eb.shell_l[s])
-                comps = CARTESIAN_COMPONENTS[l]
                 alphas = eb.prim_alpha[s]
                 coeffs = eb.prim_coeff[s]
-                for lxyz in comps:
-                    out.ao_atom[b, iao] = ia
-                    out.ao_shell[b, iao] = isx
-                    out.ao_lxyz[b, iao] = lxyz
-                    out.ao_mask[b, iao] = 1.0
-                    for ip, (a, c) in enumerate(zip(alphas, coeffs)):
-                        out.prim_alpha[b, iao, ip] = a
-                        out.prim_coeff[b, iao, ip] = c * primitive_norm(a, *lxyz)
-                    iao += 1
+                if l < 2:
+                    for lxyz in CARTESIAN_COMPONENTS[l]:
+                        out.ao_atom[b, iao] = ia
+                        out.ao_shell[b, iao] = isx
+                        out.ao_mask[b, iao] = 1.0
+                        for ip, (a, c) in enumerate(zip(alphas, coeffs)):
+                            out.prim_alpha[b, iao, ip] = a
+                            out.prim_coeff[b, iao, ip] = c * primitive_norm(a, *lxyz)
+                            out.ao_lxyz[b, iao, ip] = lxyz
+                        iao += 1
+                else:
+                    # 5 spherical d AOs: contract normalized cartesian
+                    # components into the primitive axis
+                    from .basis import D_SPHERICAL_FROM_CART
+
+                    cart = CARTESIAN_COMPONENTS[2]
+                    for row in D_SPHERICAL_FROM_CART:
+                        out.ao_atom[b, iao] = ia
+                        out.ao_shell[b, iao] = isx
+                        out.ao_mask[b, iao] = 1.0
+                        ip = 0
+                        for ci, lxyz in zip(row, cart):
+                            if ci == 0.0:
+                                continue
+                            for a, c in zip(alphas, coeffs):
+                                out.prim_alpha[b, iao, ip] = a
+                                out.prim_coeff[b, iao, ip] = (
+                                    ci * c * primitive_norm(a, *lxyz)
+                                )
+                                out.ao_lxyz[b, iao, ip] = lxyz
+                                ip += 1
+                        iao += 1
                 isx += 1
         out.nelec[b] = nelec - charge
         # padded AOs point at padded atom slots so distances stay huge

@@ -65,6 +65,7 @@ class FragmentData(NamedTuple):
     at_rcov: jnp.ndarray
     at_rad: jnp.ndarray
     at_e0: jnp.ndarray
+    at_xbond: jnp.ndarray
     d3_ref_cn: jnp.ndarray
     d3_zidx: jnp.ndarray
     d3_c6_pair: jnp.ndarray
@@ -129,6 +130,7 @@ def fragment_data_from_batch(
         at_rcov=f(batch.at_rcov),
         at_rad=f(batch.at_rad),
         at_e0=f(batch.at_e0),
+        at_xbond=f(batch.at_xbond),
         d3_ref_cn=f(np.stack([t["ref_cn"] for t in d3])),
         d3_zidx=f(np.stack([t["zidx"] for t in d3])),
         d3_c6_pair=f(
@@ -231,7 +233,14 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     # see params_gfn1.ElementRecord.e0
     e_atomic = (frag.at_e0 * frag.atom_mask).sum()
 
-    energy = e_el + e_rep + e_disp + e_atomic
+    # halogen-bond correction (GFN1; zero unless halogens present)
+    from .xbond import halogen_bond_energy
+
+    e_xb = halogen_bond_energy(
+        coords, frag.numbers, frag.at_xbond, frag.at_rcov, frag.atom_mask
+    )
+
+    energy = e_el + e_rep + e_disp + e_atomic + e_xb
     # CDS surface + solution-state shift terms (ALPB/GBSA; reference wires
     # them via tblite and defaults them ON, mqc_method_xtb.f90:532-554)
     if solvation is not None and hasattr(solvation, "surface_energy"):

@@ -43,7 +43,9 @@ def _s1d(i, j, xpa, xpb, inv2p):
 def overlap_matrix(
     coords,       # (nat, 3) Bohr
     ao_atom,      # (nao,) int: atom of each AO
-    ao_lxyz,      # (nao, 3) int: cartesian powers of each AO
+    ao_lxyz,      # (nao, nprim, 3) int: cartesian powers of each entry
+                  # (spherical d AOs carry multiple cartesian components
+                  # folded into the primitive axis)
     prim_alpha,   # (nao, nprim): primitive exponents per AO (0-padded)
     prim_coeff,   # (nao, nprim): contraction coeffs * primitive norms
     onsite_identity: bool = True,
@@ -74,18 +76,18 @@ def overlap_matrix(
     # Gaussian product center offsets per dimension:
     # P = (ai*A + aj*B)/p; XPA = P - A = aj*(B-A)/p; XPB = P - B = ai*(A-B)/p
     sdim = None
-    li = ao_lxyz[:, None, :]                  # (nao, 1, 3)
-    lj = ao_lxyz[None, :, :]                  # (1, nao, 3)
     for d in range(3):
+        li = ao_lxyz[:, None, :, None, d]     # (nao, 1, np, 1)
+        lj = ao_lxyz[None, :, None, :, d]     # (1, nao, 1, np)
         ab_d = AB[:, :, d][:, :, None, None]  # A_d - B_d
         xpa = -aj * ab_d / p                  # P_d - A_d = aj*(B-A)/p
         xpb = ai * ab_d / p                   # P_d - B_d = ai*(A-B)/p
         s_d = jnp.zeros_like(pref)
         for i in range(MAX_L + 1):
             for j in range(MAX_L + 1):
-                mask = (li[:, :, d] == i) & (lj[:, :, d] == j)
+                mask = (li == i) & (lj == j)
                 s_ij = _s1d(i, j, xpa, xpb, inv2p)
-                s_d = jnp.where(mask[:, :, None, None], s_ij, s_d)
+                s_d = jnp.where(mask, s_ij, s_d)
         sdim = s_d if sdim is None else sdim * s_d
 
     prim_s = pref * sdim                      # (nao, nao, np, np)
@@ -99,7 +101,9 @@ def overlap_matrix(
     S = jnp.where(coincident, 0.0, S)
 
     # Same-atom blocks are orthonormal by construction in the xTB basis
-    # (angular orthogonality + explicit 1s/2s orthogonalization for H).
+    # (angular orthogonality, explicit 1s/2s orthogonalization for H, and
+    # spherical-harmonic d combinations); snap them to the identity to
+    # remove integration noise and keep padded AOs well-conditioned.
     if onsite_identity:
         same_atom = ao_atom[:, None] == ao_atom[None, :]
         eye = jnp.eye(nao, dtype=S.dtype)
