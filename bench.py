@@ -86,6 +86,30 @@ def main() -> int:
     frags_per_sec = batch_size * n_iters / dt
     max_resid = float(np.abs(np.asarray(aux["scf_residual"])).max())
     assert max_resid < 1e-5, f"SCF not converged in bench: {max_resid}"
+
+    # secondary metric (BASELINE.md): batched symmetric eigh TFLOP/s at the
+    # SCC hot-loop shape and at a larger MXU-friendly shape. FLOP convention:
+    # 9*N^3 per matrix (QR-algorithm nominal count).
+    def eigh_tflops(nmat, n, iters=4):
+        a = jnp.asarray(
+            rng.normal(size=(nmat, n, n)).astype(
+                np.float64 if f64 else np.float32
+            )
+        )
+        a = a + jnp.swapaxes(a, -1, -2)
+        eigh = jax.jit(jnp.linalg.eigh)
+        w, v = eigh(a)
+        v.block_until_ready()
+        t0 = time.perf_counter()
+        for i in range(iters):
+            w, v = eigh(a + 1e-6 * (i + 1))
+        v.block_until_ready()
+        dt_e = time.perf_counter() - t0
+        return 9.0 * nmat * n**3 * iters / dt_e / 1e12
+
+    eigh_small = eigh_tflops(512, 16)   # bench dimer AO dimension
+    eigh_large = eigh_tflops(64, 256)   # large-fragment regime
+
     print(
         json.dumps(
             {
@@ -93,6 +117,9 @@ def main() -> int:
                 "value": round(frags_per_sec, 2),
                 "unit": "fragments/s",
                 "vs_baseline": round(frags_per_sec / BASELINE_FRAGS_PER_SEC, 3),
+                "scf_residual": max_resid,
+                "eigh_tflops_b512_n16": round(eigh_small, 4),
+                "eigh_tflops_b64_n256": round(eigh_large, 4),
             }
         )
     )

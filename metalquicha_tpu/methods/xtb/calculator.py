@@ -168,7 +168,7 @@ def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
     frag = jax.tree.map(jax.lax.stop_gradient, frag)
     c = jax.lax.stop_gradient(coords)
     S = overlap_matrix(c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff)
-    cn = coordination_numbers(c, frag.at_rcov, frag.atom_mask, settings.kcn_steep)
+    cn = coordination_numbers(c, frag.at_rcov, frag.atom_mask, settings.kcn_steep, settings.cn_type)
     H0 = h0_matrix(S, c, frag, cn, settings)
     gamma = gamma_matrix(c, frag, settings)
     gamma_at = _solv_gamma(c, frag, solvation)
@@ -197,7 +197,8 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
             frag.prim_coeff,
         )
         cn = coordination_numbers(
-            coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep
+            coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep,
+            settings.cn_type,
         )
         H0 = h0_matrix(S, coords, frag, cn, settings)
         gamma = gamma_matrix(coords, frag, settings)
@@ -212,7 +213,7 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         coords, frag.at_zeff, frag.at_alpha, frag.atom_mask,
         settings.kexp_rep, settings.rexp_rep,
     )
-    cn = coordination_numbers(coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep)
+    cn = coordination_numbers(coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep, settings.cn_type)
     d3tab = {
         "ref_cn": frag.d3_ref_cn,
         "zidx": frag.d3_zidx,

@@ -51,6 +51,17 @@ class EngineSettings(NamedTuple):
     disp_s8: float = 2.4
     disp_a1: float = 0.63
     disp_a2: float = 5.0
+    # --- discrete functional-form variants (tblite-convention candidates,
+    # selected empirically against the reference validation set) ---
+    #: K rule for pairs involving a polarization shell:
+    #: "flat" K=kpol; "avg" K=0.5*(k_l + kpol); suffix "_noen" skips the
+    #: electronegativity factor on such pairs
+    kpol_mode: str = "flat"
+    #: shell-hardness average in the second-order kernel
+    eta_average: str = "harmonic"  # or "arithmetic"
+    #: CN counting function: "exp" (single exponential) or "gfn"
+    #: (double-exponential product, tblite ncoord gfn type)
+    cn_type: str = "exp"
 
 
 def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings":
@@ -78,6 +89,12 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
         disp_a2=g.disp_a2,
     )
     base.update(overrides)
+    import json as _json
+    import os as _os
+
+    env = _os.environ.get("MQC_FORM_VARIANT")
+    if env:
+        base.update(_json.loads(env))
     return EngineSettings(**base)
 
 
@@ -86,7 +103,7 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
 # ---------------------------------------------------------------------------
 
 
-def coordination_numbers(coords, rcov, atom_mask, steepness):
+def coordination_numbers(coords, rcov, atom_mask, steepness, cn_type="exp"):
     """Exponential counting function CN (GFN1/D3 style, k2 = 4/3)."""
     diff = coords[:, None, :] - coords[None, :, :]
     # clamp before sqrt: coincident pairs (GMBE caps) otherwise produce
@@ -96,6 +113,10 @@ def coordination_numbers(coords, rcov, atom_mask, steepness):
     )
     r0 = (4.0 / 3.0) * (rcov[:, None] + rcov[None, :])
     cf = 1.0 / (1.0 + jnp.exp(-steepness * (r0 / r - 1.0)))
+    if cn_type == "gfn":
+        # double-exponential counting (tblite ncoord "gfn"): a second,
+        # steeper switch at a shifted radius sharpens the plateau
+        cf = cf / (1.0 + jnp.exp(-2.0 * steepness * ((r0 + 2.0) / r - 1.0)))
     pair_mask = atom_mask[:, None] * atom_mask[None, :]
     pair_mask = pair_mask * (1.0 - jnp.eye(coords.shape[0]))
     pair_mask = pair_mask * (r > 1e-5)  # skip coincident pairs (GMBE caps)
@@ -139,9 +160,29 @@ def h0_matrix(S, coords, batch, cn, settings: EngineSettings):
     kll = jnp.asarray(settings.kll)
     K = kll[ao_l[:, None], ao_l[None, :]]
     pol_pair = (ao_pol[:, None] + ao_pol[None, :]) > 0.5
-    K = jnp.where(pol_pair, settings.kpol, K)
+    if settings.kpol_mode.startswith("avg"):
+        kdiag = jnp.asarray(
+            [settings.kll[0][0], settings.kll[1][1], settings.kll[2][2]]
+        )
+        k_self = kdiag[ao_l]
+        k_mix = 0.5 * (k_self[:, None] + settings.kpol)
+        k_mix_t = 0.5 * (settings.kpol + k_self[None, :])
+        one_pol = pol_pair & ~(
+            (ao_pol[:, None] > 0.5) & (ao_pol[None, :] > 0.5)
+        )
+        both_pol = (ao_pol[:, None] > 0.5) & (ao_pol[None, :] > 0.5)
+        K = jnp.where(
+            one_pol,
+            jnp.where(ao_pol[:, None] > 0.5, k_mix_t, k_mix),
+            K,
+        )
+        K = jnp.where(both_pol, settings.kpol, K)
+    else:
+        K = jnp.where(pol_pair, settings.kpol, K)
 
     en_fac = 1.0 + settings.ken * (ao_en[:, None] - ao_en[None, :]) ** 2
+    if settings.kpol_mode.endswith("_noen"):
+        en_fac = jnp.where(pol_pair, 1.0, en_fac)
 
     r_at = pair_distances(coords)
     r_ao = r_at[batch.ao_atom[:, None], batch.ao_atom[None, :]]
@@ -169,7 +210,10 @@ def gamma_matrix(coords, batch, settings: EngineSettings):
     r_sh = r_at[batch.sh_atom[:, None], batch.sh_atom[None, :]]
     eta_i = batch.sh_eta[:, None]
     eta_j = batch.sh_eta[None, :]
-    eta_avg = 2.0 * eta_i * eta_j / (eta_i + eta_j)
+    if settings.eta_average == "arithmetic":
+        eta_avg = 0.5 * (eta_i + eta_j)
+    else:
+        eta_avg = 2.0 * eta_i * eta_j / (eta_i + eta_j)
     g = settings.gexp
     return (r_sh**g + eta_avg ** (-g)) ** (-1.0 / g)
 
@@ -440,7 +484,8 @@ def electronic_energy(
         coords, batch.ao_atom, batch.ao_lxyz, batch.prim_alpha, batch.prim_coeff
     )
     cn = coordination_numbers(
-        coords, batch.at_rcov, batch.atom_mask, settings.kcn_steep
+        coords, batch.at_rcov, batch.atom_mask, settings.kcn_steep,
+        settings.cn_type,
     )
     H0 = h0_matrix(S, coords, batch, cn, settings)
     gamma = gamma_matrix(coords, batch, settings)

@@ -459,6 +459,15 @@ def main() -> int:
         residuals, jac_rows = [], []
         for tgt in targets:
             val, grad = tgt.value_and_grad(theta)
+            grad = np.asarray(grad)
+            bad = ~np.isfinite(grad)
+            if bad.any():
+                print(f"    [warn] {tgt.name}: {bad.sum()} non-finite "
+                      "Jacobian entries zeroed")
+                grad = np.where(bad, 0.0, grad)
+            if not np.isfinite(val):
+                print(f"    [warn] {tgt.name}: non-finite residual")
+                val = tgt.expected + 1.0
             residuals.append(val - tgt.expected)
             jac_rows.append(grad)
         return np.array(residuals), np.stack(jac_rows)
@@ -507,9 +516,12 @@ def main() -> int:
         dG = np.diag(G).copy()
         # Marquardt diagonal scaling: damping proportional to each column's
         # own curvature (columns span wildly different unit scales)
-        A = G + np.diag(pw + lm * np.maximum(dG, 1e-12 * dG.max()))
+        A = G + np.diag(pw + lm * np.maximum(dG, 1e-12 * max(dG.max(), 1e-30)))
         b = Jw.T @ rw + pw * (flat - prior)
-        step = np.linalg.solve(A, b)
+        try:
+            step = np.linalg.solve(A, b)
+        except np.linalg.LinAlgError:
+            step, *_ = np.linalg.lstsq(A, b, rcond=1e-12)
         flat_new = flat - step
         r_new, J_new = eval_all(flat_new)
         rmse_new = float(np.sqrt(((tw * r_new) ** 2).mean()))
