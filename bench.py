@@ -57,8 +57,13 @@ def main() -> int:
     n_iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     scf_iters = int(os.environ.get("BENCH_SCF_ITERS", "16"))
+    # Pallas batched-Jacobi eigh in the SCC loop: ~2.9x over XLA's eigh at
+    # these AO dims (disable with BENCH_PALLAS=0 for the XLA-only number)
+    use_pallas = os.environ.get("BENCH_PALLAS", "1") == "1" and not f64
     calc = XtbCalculator(
-        settings_from_params("gfn1", max_scf_iter=scf_iters),
+        settings_from_params(
+            "gfn1", max_scf_iter=scf_iters, use_pallas_eigh=use_pallas
+        ),
         dtype=jnp.float64 if f64 else jnp.float32,
     )
     frag = calc.make_batch([dimer(i) for i in range(batch_size)])

@@ -62,6 +62,10 @@ class EngineSettings(NamedTuple):
     #: CN counting function: "exp" (single exponential) or "gfn"
     #: (double-exponential product, tblite ncoord gfn type)
     cn_type: str = "exp"
+    #: use the Pallas batched Jacobi eigensolver inside the SCC loop
+    #: (TPU, f32, small AO dims; ~3.4x faster than XLA's eigh there).
+    #: The final variational energy evaluation always uses jnp eigh.
+    use_pallas_eigh: bool = False
 
 
 def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings":
@@ -377,7 +381,26 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
     plays the role of tblite's Broyden mixer — the converged point is
     mixer-independent; this just gets there in ~3x fewer diagonalizations.
     """
-    L = jnp.linalg.cholesky(S)
+    use_pallas = (
+        settings.use_pallas_eigh
+        and S.dtype == jnp.float32
+        and S.shape[-1] <= 48
+    )
+    if use_pallas:
+        # orthogonalize once via S^-1/2; Jacobi kernel inside the loop
+        from ...ops.jacobi_eigh import jacobi_eigh
+
+        s_eig, U = jnp.linalg.eigh(S)
+        Xs = (U * jax.lax.rsqrt(jnp.maximum(s_eig, 1e-10))[None, :]) @ U.T
+
+        def solve_eigh(F, _L):
+            eps, Cp = jacobi_eigh(Xs @ F @ Xs)
+            return eps, Xs @ Cp
+
+        L = S  # unused
+    else:
+        solve_eigh = _general_eigh
+        L = jnp.linalg.cholesky(S)
     nsh = batch.sh_mask.shape[0]
     q0 = jnp.zeros(nsh)
     m = settings.broyden_memory
@@ -386,7 +409,7 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
 
     def fixed_point(q):
         F = _fock(H0, S, q, gamma, batch, settings, gamma_at)
-        eps, C = _general_eigh(F, L)
+        eps, C = solve_eigh(F, L)
         f, _ = occupations(
             eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,
             settings.fixed_occupations,

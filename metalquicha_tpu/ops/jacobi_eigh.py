@@ -24,54 +24,67 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.experimental import pallas as pl
+
 LANES = 128
 
 
-def _jacobi_kernel(a_ref, w_ref, v_ref, awork, n: int, sweeps: int):
+def _pair_table(n: int) -> np.ndarray:
+    pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+    return np.asarray(pairs, dtype=np.int32)
+
+
+def _jacobi_kernel(pq_ref, a_ref, w_ref, v_ref, awork, n: int, sweeps: int):
     awork[:, :, :] = a_ref[:, :, :]
 
-    # V = I, broadcast over lanes
-    for i in range(n):
-        row = jnp.zeros((n, LANES), dtype=a_ref.dtype)
-        v_ref[i, :, :] = row.at[i, :].set(1.0)
+    # V = I, broadcast over lanes (build as a full (n, n, LANES) constant)
+    eye = jnp.broadcast_to(
+        jnp.eye(n, dtype=a_ref.dtype)[:, :, None], (n, n, LANES)
+    )
+    v_ref[:, :, :] = eye
 
-    for _ in range(sweeps):
-        for p in range(n - 1):
-            for q in range(p + 1, n):
-                rp = awork[p, :, :]              # (n, 128)
-                rq = awork[q, :, :]
-                app = rp[p : p + 1, :]           # (1, 128)
-                aqq = rq[q : q + 1, :]
-                apq = rp[q : q + 1, :]
+    npairs = n * (n - 1) // 2
 
-                # branch-free rotation angle:
-                # t = sign(tau) / (|tau| + sqrt(1 + tau^2))
-                denom = 2.0 * apq
-                safe = jnp.abs(denom) > 1e-12 * (
-                    jnp.abs(app) + jnp.abs(aqq) + 1.0
-                )
-                tau = (aqq - app) / jnp.where(safe, denom, 1.0)
-                t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-                t = jnp.where(safe, t, 0.0)
-                c = jax.lax.rsqrt(1.0 + t * t)
-                s = t * c
+    def step(k, _):
+        j = k % npairs
+        p = pq_ref[j, 0]
+        q = pq_ref[j, 1]
 
-                # two-sided rotation: rows then columns of A
-                awork[p, :, :] = c * rp - s * rq
-                awork[q, :, :] = s * rp + c * rq
-                cp = awork[:, p, :]
-                cq = awork[:, q, :]
-                awork[:, p, :] = c[0] * cp - s[0] * cq
-                awork[:, q, :] = s[0] * cp + c[0] * cq
+        rp = awork[pl.ds(p, 1), :, :][0]      # (n, 128)
+        rq = awork[pl.ds(q, 1), :, :][0]
+        app = awork[pl.ds(p, 1), pl.ds(p, 1), :][0]  # (1, 128)
+        aqq = awork[pl.ds(q, 1), pl.ds(q, 1), :][0]
+        apq = awork[pl.ds(p, 1), pl.ds(q, 1), :][0]
 
-                # eigenvectors: V <- V J (columns p, q)
-                vp = v_ref[:, p, :]
-                vq = v_ref[:, q, :]
-                v_ref[:, p, :] = c[0] * vp - s[0] * vq
-                v_ref[:, q, :] = s[0] * vp + c[0] * vq
+        # branch-free rotation: t = sign(tau)/(|tau| + sqrt(1 + tau^2))
+        denom = 2.0 * apq
+        safe = jnp.abs(denom) > 1e-12 * (jnp.abs(app) + jnp.abs(aqq) + 1.0)
+        tau = (aqq - app) / jnp.where(safe, denom, 1.0)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(safe, t, 0.0)
+        c = jax.lax.rsqrt(1.0 + t * t)        # (1, 128)
+        s = t * c
 
-    for i in range(n):
-        w_ref[i, :] = awork[i, i, :]
+        # two-sided rotation: rows then columns of A
+        awork[pl.ds(p, 1), :, :] = (c * rp - s * rq)[None]
+        awork[pl.ds(q, 1), :, :] = (s * rp + c * rq)[None]
+        cp = awork[:, pl.ds(p, 1), :][:, 0]   # (n, 128)
+        cq = awork[:, pl.ds(q, 1), :][:, 0]
+        awork[:, pl.ds(p, 1), :] = (c * cp - s * cq)[:, None]
+        awork[:, pl.ds(q, 1), :] = (s * cp + c * cq)[:, None]
+
+        # eigenvectors: V <- V J (columns p, q)
+        vp = v_ref[:, pl.ds(p, 1), :][:, 0]
+        vq = v_ref[:, pl.ds(q, 1), :][:, 0]
+        v_ref[:, pl.ds(p, 1), :] = (c * vp - s * vq)[:, None]
+        v_ref[:, pl.ds(q, 1), :] = (s * vp + c * vq)[:, None]
+        return _
+
+    jax.lax.fori_loop(0, sweeps * npairs, step, 0)
+
+    # diagonal -> eigenvalues: extract via mask + reduce over one axis
+    diag_mask = jnp.eye(n, dtype=a_ref.dtype)[:, :, None]
+    w_ref[:, :] = (awork[:, :, :] * diag_mask).sum(axis=1)
 
 
 @partial(jax.jit, static_argnames=("sweeps", "interpret"))
@@ -93,12 +106,14 @@ def batched_jacobi_eigh(a, sweeps: int = 12, interpret: bool = False):
         a = jnp.concatenate([a, pad], axis=0)
 
     at = jnp.transpose(a, (1, 2, 0))  # (N, N, Bp)
+    pq = jnp.asarray(_pair_table(n))
 
     kernel = partial(_jacobi_kernel, n=n, sweeps=sweeps)
     w_t, v_t = pl.pallas_call(
         kernel,
         grid=(bp // LANES,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((n, n, LANES), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
@@ -114,8 +129,40 @@ def batched_jacobi_eigh(a, sweeps: int = 12, interpret: bool = False):
         ),
         scratch_shapes=[pltpu.VMEM((n, n, LANES), a.dtype)],
         interpret=interpret,
-    )(at)
+    )(pq, at)
 
     w = jnp.transpose(w_t, (1, 0))[:b]
     v = jnp.transpose(v_t, (2, 0, 1))[:b]
     return w, v
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _single_eigh_fn(sweeps: int):
+    """Single-matrix wrapper whose vmap rule collapses the batch into ONE
+    pallas call (plain vmap of pallas_call would pad every matrix to a full
+    128-lane tile — 127/128 waste)."""
+    from jax import custom_batching
+
+    @custom_batching.custom_vmap
+    def eigh1(a):
+        w, v = batched_jacobi_eigh(a[None], sweeps=sweeps)
+        return w[0], v[0]
+
+    @eigh1.def_vmap
+    def _rule(axis_size, in_batched, a):
+        w, v = batched_jacobi_eigh(a, sweeps=sweeps)
+        return (w, v), (True, True)
+
+    return eigh1
+
+
+def jacobi_eigh(a, sweeps: int = 10):
+    """eigh of ONE small symmetric matrix; batches efficiently under vmap.
+
+    Returns (w UNSORTED, v). Intended for the SCC fixed-point loop where
+    ordering is irrelevant (Fermi filling) and no autodiff passes through.
+    """
+    return _single_eigh_fn(sweeps)(a)
