@@ -57,6 +57,7 @@ class ElementBasis:
     n_ao: int
     e0: float = 0.0
     xbond: float = 0.0
+    aes: tuple = (3.0, 1.0, 0.1, 3.0, 4.0)  # mrad, dkernel, qkernel, d4ga, d4zref
 
 
 @lru_cache(maxsize=None)
@@ -112,6 +113,13 @@ def element_basis(z: int, variant: str = "gfn1") -> ElementBasis:
         n_ao=n_ao,
         e0=float(getattr(rec, "e0", 0.0)),
         xbond=float(getattr(rec, "xbond", 0.0)),
+        aes=(
+            float(getattr(rec, "mrad", 3.0)),
+            float(getattr(rec, "dkernel", 1.0)),
+            float(getattr(rec, "qkernel", 0.1)),
+            float(getattr(rec, "d4ga", 3.0)),
+            float(getattr(rec, "d4zref", rec.refocc and sum(rec.refocc) or 4.0)),
+        ),
     )
 
 
@@ -158,6 +166,7 @@ class XtbBatch:
     at_rad: np.ndarray
     at_e0: np.ndarray
     at_xbond: np.ndarray
+    at_aes: np.ndarray       # (B, nat, 5) mrad/dkernel/qkernel/d4ga/d4zref
 
     @property
     def n_fragments(self) -> int:
@@ -244,6 +253,9 @@ def build_batch(
         at_rad=np.full((B, nat), 1.0),
         at_e0=np.zeros((B, nat)),
         at_xbond=np.zeros((B, nat)),
+        at_aes=np.tile(
+            np.array([3.0, 1.0, 0.1, 3.0, 4.0]), (B, nat, 1)
+        ),
     )
 
     for b, (numbers, coords, charge, mult) in enumerate(norm):
@@ -269,6 +281,7 @@ def build_batch(
             out.at_rad[b, ia] = eb.rad_bohr
             out.at_e0[b, ia] = eb.e0
             out.at_xbond[b, ia] = eb.xbond
+            out.at_aes[b, ia] = eb.aes
             for s in range(eb.n_shells):
                 out.sh_atom[b, isx] = ia
                 out.sh_mask[b, isx] = 1.0

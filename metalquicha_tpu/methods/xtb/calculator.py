@@ -66,6 +66,7 @@ class FragmentData(NamedTuple):
     at_rad: jnp.ndarray
     at_e0: jnp.ndarray
     at_xbond: jnp.ndarray
+    at_aes: jnp.ndarray
     d3_ref_cn: jnp.ndarray
     d3_zidx: jnp.ndarray
     d3_c6_pair: jnp.ndarray
@@ -131,6 +132,7 @@ def fragment_data_from_batch(
         at_rad=f(batch.at_rad),
         at_e0=f(batch.at_e0),
         at_xbond=f(batch.at_xbond),
+        at_aes=f(batch.at_aes),
         d3_ref_cn=f(np.stack([t["ref_cn"] for t in d3])),
         d3_zidx=f(np.stack([t["zidx"] for t in d3])),
         d3_c6_pair=f(
@@ -156,6 +158,21 @@ def _solv_gamma(coords, frag: FragmentData, solvation):
     )
 
 
+def _mp_tables(frag: FragmentData, cn):
+    """Static AES/D4 inputs for the GFN2 multipole SCC."""
+    return {
+        "at_aes": frag.at_aes,
+        "d4": True,
+        "cn": cn,
+        "d3tab": {
+            "ref_cn": frag.d3_ref_cn,
+            "zidx": frag.d3_zidx,
+            "pair_table": frag.d3_c6_pair,
+            "r4r2": frag.d3_r4r2,
+        },
+    }
+
+
 def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
                       solvation=None):
     """Run the (non-differentiated) SCC to get converged shell charges.
@@ -167,11 +184,25 @@ def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
     """
     frag = jax.tree.map(jax.lax.stop_gradient, frag)
     c = jax.lax.stop_gradient(coords)
-    S = overlap_matrix(c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff)
     cn = coordination_numbers(c, frag.at_rcov, frag.atom_mask, settings.kcn_steep, settings.cn_type)
-    H0 = h0_matrix(S, c, frag, cn, settings)
     gamma = gamma_matrix(c, frag, settings)
     gamma_at = _solv_gamma(c, frag, solvation)
+    if settings.multipoles:
+        from .engine import scf_solve_multipole
+        from .multipole import moment_matrices
+
+        S, D, Q = moment_matrices(
+            c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff
+        )
+        H0 = h0_matrix(S, c, frag, cn, settings)
+        mp = _mp_tables(frag, cn)
+        mp["D"], mp["Q"] = D, Q
+        z_star, resid = scf_solve_multipole(
+            H0, S, c, gamma, frag, kt, settings, gamma_at, mp
+        )
+        return jax.lax.stop_gradient(z_star), jax.lax.stop_gradient(resid)
+    S = overlap_matrix(c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff)
+    H0 = h0_matrix(S, c, frag, cn, settings)
     q_star, resid = scf_solve(H0, S, gamma, frag, kt, settings, gamma_at)
     return jax.lax.stop_gradient(q_star), jax.lax.stop_gradient(resid)
 
@@ -191,7 +222,7 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     q_star, resid = _converge_charges(coords, frag, kt, settings, solvation)
 
     gamma_at = _solv_gamma(coords, frag, solvation)
-    if diff_scf_iters:
+    if diff_scf_iters and not settings.multipoles:
         S = overlap_matrix(
             coords, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha,
             frag.prim_coeff,
@@ -206,29 +237,47 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
             H0, S, gamma, frag, kt, settings, q_star, diff_scf_iters,
             gamma_at,
         )
-    e_el, eps, f, entropy = electronic_energy(
-        coords, q_star, frag, kt, settings, gamma_at
-    )
+    cn = coordination_numbers(coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep, settings.cn_type)
+    nat = frag.atom_mask.shape[0]
+    if settings.multipoles:
+        # GFN2 path: AES + charge-scaled dispersion live INSIDE the
+        # interaction functional (self-consistent); no separate e_disp
+        from .engine import _aes_unpack, electronic_energy_multipole
+
+        mp = _mp_tables(frag, cn)
+        e_el, eps, f, entropy = electronic_energy_multipole(
+            coords, q_star, frag, kt, settings, gamma_at, mp
+        )
+        nsh = frag.sh_mask.shape[0]
+        q_sh, mu_at, th_at = _aes_unpack(q_star, nsh, nat)
+        q_at = jnp.zeros(nat).at[frag.sh_atom].add(q_sh * frag.sh_mask)
+        # dipole = sum q R + sum mu (reference formula,
+        # mqc_method_xtb.f90:148: matmul(xyz, qat) + sum(dpat))
+        dipole = ((frag.atom_mask * q_at)[:, None] * coords).sum(0) + (
+            mu_at * frag.atom_mask[:, None]
+        ).sum(0)
+        e_disp = jnp.zeros(())
+    else:
+        e_el, eps, f, entropy = electronic_energy(
+            coords, q_star, frag, kt, settings, gamma_at
+        )
+        d3tab = {
+            "ref_cn": frag.d3_ref_cn,
+            "zidx": frag.d3_zidx,
+            "pair_table": frag.d3_c6_pair,
+            "r4r2": frag.d3_r4r2,
+        }
+        e_disp = d3_energy(
+            coords, cn, d3tab, frag.atom_mask,
+            settings.disp_s6, settings.disp_s8, settings.disp_a1,
+            settings.disp_a2,
+        )
+        q_at = jnp.zeros(nat).at[frag.sh_atom].add(q_star * frag.sh_mask)
+        dipole = ((frag.atom_mask * q_at)[:, None] * coords).sum(0)
     e_rep = repulsion_energy(
         coords, frag.at_zeff, frag.at_alpha, frag.atom_mask,
         settings.kexp_rep, settings.rexp_rep,
     )
-    cn = coordination_numbers(coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep, settings.cn_type)
-    d3tab = {
-        "ref_cn": frag.d3_ref_cn,
-        "zidx": frag.d3_zidx,
-        "pair_table": frag.d3_c6_pair,
-        "r4r2": frag.d3_r4r2,
-    }
-    e_disp = d3_energy(
-        coords, cn, d3tab, frag.atom_mask,
-        settings.disp_s6, settings.disp_s8, settings.disp_a1, settings.disp_a2,
-    )
-
-    # atomic partial charges and Mulliken point-charge dipole
-    nat = frag.atom_mask.shape[0]
-    q_at = jnp.zeros(nat).at[frag.sh_atom].add(q_star * frag.sh_mask)
-    dipole = ((frag.atom_mask * q_at)[:, None] * coords).sum(0)
 
     # per-element atomic reference constants (zero geometric derivatives);
     # see params_gfn1.ElementRecord.e0

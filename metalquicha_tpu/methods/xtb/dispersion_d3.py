@@ -190,9 +190,12 @@ def c6_coefficients(cn, ref_cn, zidx, pair_table):
 
 
 def d3_energy(
-    coords, cn, d3tab, atom_mask, s6, s8, a1, a2
+    coords, cn, d3tab, atom_mask, s6, s8, a1, a2, c6_scale=None
 ):
-    """Two-body D3(BJ) energy. `cn` from the shared counting function."""
+    """Two-body D3(BJ) energy. `cn` from the shared counting function.
+
+    c6_scale: optional (nat, nat) multiplicative factor on the pair C6
+    (the D4-style charge scaling zeta_A zeta_B for GFN2)."""
     nat = coords.shape[0]
     diff = coords[:, None, :] - coords[None, :, :]
     r2 = (diff**2).sum(-1) + jnp.eye(nat)
@@ -202,6 +205,8 @@ def d3_energy(
     c6 = c6_coefficients(
         cn, d3tab["ref_cn"], d3tab["zidx"], d3tab["pair_table"]
     )
+    if c6_scale is not None:
+        c6 = c6 * c6_scale
     qq = 3.0 * d3tab["r4r2"][:, None] * d3tab["r4r2"][None, :]
     c8 = c6 * qq
 

@@ -66,6 +66,9 @@ class EngineSettings(NamedTuple):
     #: (TPU, f32, small AO dims; ~3.4x faster than XLA's eigh there).
     #: The final variational energy evaluation always uses jnp eigh.
     use_pallas_eigh: bool = False
+    #: GFN2 mode: self-consistent atomic dipoles/quadrupoles (AES) and
+    #: charge-scaled (D4-style) dispersion inside the SCC
+    multipoles: bool = False
 
 
 def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings":
@@ -91,6 +94,7 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
         disp_s8=g.disp_s8,
         disp_a1=g.disp_a1,
         disp_a2=g.disp_a2,
+        multipoles=bool(getattr(g, "multipoles", False)),
     )
     base.update(overrides)
     import json as _json
@@ -371,6 +375,196 @@ def _shell_populations(P, S, batch):
     ps = (P * S).sum(axis=1)  # (PS)_mumu for symmetric S
     nsh = batch.sh_mask.shape[0]
     return jnp.zeros(nsh).at[batch.ao_shell].add(ps * batch.ao_mask)
+
+
+# ---------------------------------------------------------------------------
+# GFN2 multipole (AES) machinery: the SCC state generalizes from shell
+# charges to (q_sh, mu_A, theta_A); the interaction energy is a function of
+# these moments, its gradients are the SCC potentials, and the Fock
+# contribution follows from the moments being LINEAR maps of P.
+# ---------------------------------------------------------------------------
+
+
+def _aes_pack(q, mu, th):
+    return jnp.concatenate([q, mu.ravel(), th.ravel()])
+
+
+def _aes_unpack(z, nsh, nat):
+    q = z[:nsh]
+    mu = z[nsh : nsh + 3 * nat].reshape(nat, 3)
+    th = z[nsh + 3 * nat :].reshape(nat, 6)
+    return q, mu, th
+
+
+def _aes_interaction(q_sh, mu, th, coords, gamma, batch, settings,
+                     gamma_at, mp):
+    """Moment-dependent interaction energy for GFN2: isotropic second +
+    third order (existing machinery) + AES + charge-scaled dispersion."""
+    from .dispersion_d3 import d3_energy
+    from .gfn2 import aes_energy, d4_zeta
+
+    e = _coulomb_energy(q_sh, gamma, batch, settings, gamma_at)
+    q_at = _atom_charges(q_sh, batch)
+    aes_p = mp["at_aes"]
+    e = e + aes_energy(
+        coords, q_at, mu, th,
+        aes_p[:, 0], aes_p[:, 1], aes_p[:, 2], batch.atom_mask,
+    )
+    if mp.get("d4", False):
+        zeta = d4_zeta(q_at, aes_p[:, 3], aes_p[:, 4], batch.atom_mask)
+        d3tab = dict(mp["d3tab"])
+        # scale the pair C6 table by zeta_A zeta_B (charge-dependent C6)
+        e = e + d3_energy(
+            coords, mp["cn"], d3tab, batch.atom_mask,
+            settings.disp_s6, settings.disp_s8,
+            settings.disp_a1, settings.disp_a2,
+            c6_scale=zeta[:, None] * zeta[None, :],
+        )
+    return e
+
+
+def _aes_fock(H0, S, z, coords, gamma, batch, settings, gamma_at, mp):
+    """Fock matrix for the multipole SCC state z = (q_sh, mu, theta)."""
+    nsh = batch.sh_mask.shape[0]
+    nat = batch.atom_mask.shape[0]
+    q, mu, th = _aes_unpack(z, nsh, nat)
+    vq, vmu, vth = jax.grad(_aes_interaction, argnums=(0, 1, 2))(
+        q, mu, th, coords, gamma, batch, settings, gamma_at, mp
+    )
+    # charge part: dE/dn = -dE/dq, standard shift
+    v_ao = vq[batch.ao_shell]
+    F = H0 - 0.5 * (v_ao[:, None] + v_ao[None, :]) * S
+    # multipole part: mu_A = -sum_{k in A, l} P_kl D_kl  (linear in P)
+    D, Q = mp["D"], mp["Q"]
+    G = -jnp.einsum("kd,dkl->kl", vmu[batch.ao_atom], D) - jnp.einsum(
+        "kd,dkl->kl", vth[batch.ao_atom], Q
+    )
+    return F + 0.5 * (G + G.T), (vq, vmu, vth)
+
+
+def _aes_moments_of_P(P, S, batch, mp):
+    from .gfn2 import camm_moments
+
+    n_sh = _shell_populations(P, S, batch)
+    q = (batch.sh_refocc - n_sh) * batch.sh_mask
+    mu, th = camm_moments(
+        P, S, mp["D"], mp["Q"], batch.ao_atom, batch.atom_mask.shape[0]
+    )
+    mu = mu * batch.atom_mask[:, None]
+    th = th * batch.atom_mask[:, None]
+    return q, mu, th
+
+
+def scf_solve_multipole(H0, S, coords, gamma, batch, kt,
+                        settings: EngineSettings, gamma_at, mp):
+    """Anderson-mixed SCC over the extended moment state (GFN2/AES)."""
+    L = jnp.linalg.cholesky(S)
+    nsh = batch.sh_mask.shape[0]
+    nat = batch.atom_mask.shape[0]
+    nz = nsh + 9 * nat
+    m = settings.broyden_memory
+    beta = settings.mixer_damping
+    dtype = S.dtype
+
+    def fixed_point(z):
+        F, _ = _aes_fock(H0, S, z, coords, gamma, batch, settings,
+                         gamma_at, mp)
+        eps, C = _general_eigh(F, L)
+        f, _ = occupations(
+            eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,
+            settings.fixed_occupations,
+        )
+        P = (C * f[None, :]) @ C.T
+        q, mu, th = _aes_moments_of_P(P, S, batch, mp)
+        return _aes_pack(q, mu, th)
+
+    def step(carry, it):
+        z, _, hist_x, hist_f = carry
+        z_out = fixed_point(z)
+        f_res = z_out - z
+        resid = jnp.abs(f_res).max()
+        slot = it % m
+        hist_x = hist_x.at[slot].set(z)
+        hist_f = hist_f.at[slot].set(f_res)
+        prev = (it - 1) % m
+        dX = hist_x - hist_x[prev][None, :]
+        dF = hist_f - hist_f[prev][None, :]
+        valid = (jnp.arange(m) <= it) & (jnp.arange(m) != prev)
+        dF = jnp.where(valid[:, None], dF, 0.0)
+        dX = jnp.where(valid[:, None], dX, 0.0)
+        G = dF @ dF.T
+        reg = 1e-4 if dtype == jnp.float32 else 1e-12
+        G = G + (reg * jnp.trace(G) / m + 1e-30) * jnp.eye(m, dtype=dtype)
+        c = jnp.linalg.solve(G, dF @ f_res)
+        z_and = z + beta * f_res - c @ (dX + beta * dF)
+        z_damped = z + beta * f_res
+        c_lim = 2.0 if dtype == jnp.float32 else 1e3
+        bad = (
+            (it < 1)
+            | ~jnp.isfinite(z_and).all()
+            | (jnp.abs(c).max() > c_lim)
+        )
+        z_next = jnp.where(bad, z_damped, z_and)
+        return (z_next, resid, hist_x, hist_f), None
+
+    z0 = jnp.zeros(nz, dtype=dtype)
+    hist_x = jnp.zeros((m, nz), dtype=dtype)
+    hist_f = jnp.zeros((m, nz), dtype=dtype)
+    (z, resid, _, _), _ = jax.lax.scan(
+        step, (z0, jnp.asarray(1.0, dtype), hist_x, hist_f),
+        jnp.arange(settings.max_scf_iter),
+    )
+    return z, resid
+
+
+def electronic_energy_multipole(coords, z_star, batch, kt,
+                                settings: EngineSettings, gamma_at, mp):
+    """Variational energy at the converged moment state (GFN2/AES)."""
+    from .multipole import moment_matrices
+
+    S, D, Q = moment_matrices(
+        coords, batch.ao_atom, batch.ao_lxyz, batch.prim_alpha,
+        batch.prim_coeff,
+    )
+    cn = coordination_numbers(
+        coords, batch.at_rcov, batch.atom_mask, settings.kcn_steep,
+        settings.cn_type,
+    )
+    H0 = h0_matrix(S, coords, batch, cn, settings)
+    gamma = gamma_matrix(coords, batch, settings)
+    mp = dict(mp)
+    mp["cn"] = cn
+    mp["D"], mp["Q"] = D, Q
+
+    F, (vq, vmu, vth) = _aes_fock(
+        H0, S, z_star, coords, gamma, batch, settings, gamma_at, mp
+    )
+    L = jnp.linalg.cholesky(S)
+    eps, C = _general_eigh(F, L)
+    f, entropy = occupations(
+        eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,
+        settings.fixed_occupations,
+    )
+    f = jax.lax.stop_gradient(f)
+    e_band = (f * eps).sum()
+
+    nsh = batch.sh_mask.shape[0]
+    nat = batch.atom_mask.shape[0]
+    q, mu, th = _aes_unpack(z_star, nsh, nat)
+    n_star = (batch.sh_refocc - q) * batch.sh_mask
+    # Tr(P(F-H0)) = -sum v_q n + v_mu.mu + v_th.th  (moments linear in P)
+    e_el = (
+        e_band
+        + (vq * n_star).sum()
+        - (vmu * mu).sum()
+        - (vth * th).sum()
+        + _aes_interaction(
+            q, mu, th, coords, gamma, batch, settings, gamma_at, mp
+        )
+    )
+    if settings.include_entropy and not settings.fixed_occupations:
+        e_el = e_el - kt * jax.lax.stop_gradient(entropy)
+    return e_el, eps, f, entropy
 
 
 def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):

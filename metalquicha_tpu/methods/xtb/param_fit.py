@@ -73,6 +73,10 @@ def theta_init(variant: str = "gfn1") -> dict:
             "zeff": jnp.asarray(rec.zeff, dtype=jnp.float64),
             "en": jnp.asarray(rec.en, dtype=jnp.float64),
             "e0": jnp.asarray(getattr(rec, "e0", 0.0), dtype=jnp.float64),
+            "aes": jnp.asarray(
+                [getattr(rec, "mrad", 3.0), getattr(rec, "dkernel", 1.0),
+                 getattr(rec, "qkernel", 0.1), getattr(rec, "d4ga", 3.0),
+                 getattr(rec, "d4zref", 4.0)], dtype=jnp.float64),
             "rad": jnp.asarray(eb.rad_bohr, dtype=jnp.float64),
             "rcov": jnp.asarray(eb.rcov_bohr, dtype=jnp.float64),
             "r4r2": jnp.asarray(R4R2[z], dtype=jnp.float64),
@@ -139,6 +143,12 @@ def theta_to_tables(theta: dict, variant: str = "gfn1") -> None:
         object.__setattr__(rec, "zeff", float(el["zeff"]))
         if "e0" in el:
             object.__setattr__(rec, "e0", float(el["e0"]))
+        if "aes" in el:
+            aes = np.asarray(el["aes"])
+            for k, name in enumerate(
+                ("mrad", "dkernel", "qkernel", "d4ga", "d4zref")
+            ):
+                object.__setattr__(rec, name, float(aes[k]))
 
 
 
@@ -265,6 +275,7 @@ def _element_shell_tables(theta, variant: str, nprim: int, needed_z=None):
         "zeff": atvec("zeff"),
         "en": atvec("en"),
         "e0": atvec("e0"),
+        "aes": atvec("aes"),
         "rad": atvec("rad"),
         "rcov": atvec("rcov"),
         "r4r2": atvec("r4r2"),
@@ -359,6 +370,10 @@ class FragmentSpec:
         at_zeff = jnp.where(at_mask > 0.5, tabs["zeff"][self.at_row], 0.0)
         at_en = jnp.where(at_mask > 0.5, tabs["en"][self.at_row], 0.0)
         at_e0 = jnp.where(at_mask > 0.5, tabs["e0"][self.at_row], 0.0)
+        at_aes = jnp.where(
+            at_mask[:, None] > 0.5, tabs["aes"][self.at_row],
+            jnp.asarray([3.0, 1.0, 0.1, 3.0, 4.0]),
+        )
         at_rad = jnp.where(at_mask > 0.5, tabs["rad"][self.at_row], 1.0)
         at_rcov = jnp.where(at_mask > 0.5, tabs["rcov"][self.at_row], 0.0)
         d3_r4r2 = jnp.where(at_mask > 0.5, tabs["r4r2"][self.at_row], 0.0)
@@ -386,6 +401,7 @@ class FragmentSpec:
             at_zeff=at_zeff,
             at_en=at_en,
             at_e0=at_e0,
+            at_aes=at_aes,
             at_rad=at_rad,
             at_rcov=at_rcov,
             d3_r4r2=d3_r4r2,

@@ -55,6 +55,14 @@ class ElementRecord:
     en: float              # Pauling electronegativity
     xbond: float = 0.0     # halogen-bond strength
     polarization: tuple = ()  # True per shell if polarization fn (K_pol)
+    #: GFN2 AES parameters (used when the engine runs with multipoles):
+    #: damping radius (Bohr), on-site dipole/quadrupole kernels (Hartree),
+    #: and D4 charge-scaling steepness / effective reference charge.
+    mrad: float = 3.0
+    dkernel: float = 1.0
+    qkernel: float = 0.1
+    d4ga: float = 3.0
+    d4zref: float = 4.0
     #: Per-element atomic energy offset (Hartree), added once per atom.
     #: tblite's GFN1 totals sit at a per-element constant shift relative to
     #: this engine's band+ES+rep+disp functional (measured: ~-0.667 Ha per O,
@@ -441,6 +449,11 @@ def load_overlay(path: str) -> None:
 
                 n = len(dispersion_d3.REF_C6_DIAG[z])
                 dispersion_d3.REF_C6_DIAG[z] = list(val)[:n]
+            elif key == "aes":
+                for k, name in enumerate(
+                    ("mrad", "dkernel", "qkernel", "d4ga", "d4zref")
+                ):
+                    object.__setattr__(rec, name, float(val[k]))
             else:
                 object.__setattr__(
                     rec, key, tuple(val) if isinstance(val, list) else val

@@ -124,6 +124,7 @@ PRIOR_WEIGHTS = {
     "zeff": 3e-3,
     "en": 1e-2,
     "e0": 1e-5,
+    "aes": 1e-4,
     "r4r2": 1e-3,
     "kcn": 1e-4,
     "shpoly": 1e-4,
