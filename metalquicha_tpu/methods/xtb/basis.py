@@ -163,6 +163,13 @@ def slater_to_gauss(ngauss: int, n: int, l: int, zeta: float):
     Returns (alphas, coeffs) with the contracted function renormalized to
     unit self-overlap.
     """
+    # Stewart tables cover n <= 3. Higher-row valence shells (4s..5d) use
+    # the n=3 radial expansion with the element's effective zeta: for
+    # valence-only tight binding the inner nodal structure is screened out,
+    # and the long-range exponential (what the overlaps sample) matches.
+    # (ESTIMATED-element territory; H/C/N/O are unaffected.)
+    if n > 3:
+        n = 3
     key = (ngauss, n, l)
     if key not in STO_NG:
         raise KeyError(f"no STO-{ngauss}G expansion tabulated for n={n}, l={l}")

@@ -37,6 +37,12 @@ REF_CN = {
     15: [0.0000, 0.9888, 2.9834],
     16: [0.0000, 0.9948, 1.9902],
     17: [0.0000, 0.9972],
+    13: [0.0000, 2.9153],
+    18: [0.0000],
+    19: [0.0000, 0.9339],
+    20: [0.0000, 1.9264],
+    35: [0.0000, 0.9967],
+    53: [0.0000, 0.9955],
 }
 
 # Diagonal (same element, same reference) C6 values in a.u.
@@ -53,6 +59,12 @@ REF_C6_DIAG = {
     15: [185.0000, 161.0000, 136.0000],
     16: [134.0000, 115.0000, 98.0000],
     17: [92.3460, 67.1400],
+    13: [540.5406, 306.3773],
+    18: [64.6462],
+    19: [3889.9025, 305.6094],
+    20: [2352.6862, 436.0038],
+    35: [162.0000, 124.0000],
+    53: [385.0000, 305.0000],
 }
 
 # sqrt(Z) <r^4>/<r^2> derived factors (dftd3 r2r4 array)
@@ -75,6 +87,15 @@ R4R2 = {
     16: 4.04108902,
     17: 3.72932356,
     18: 3.44677275,
+    19: 7.97762753,
+    20: 7.07623947,
+    31: 6.12101997,
+    32: 5.54005982,
+    33: 5.26619080,
+    34: 5.12452205,
+    35: 4.85787964,
+    36: 4.60044341,
+    53: 5.53441907,
 }
 
 K1 = 16.0  # CN counting steepness

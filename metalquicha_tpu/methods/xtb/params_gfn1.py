@@ -382,6 +382,67 @@ ELEMENTS: dict = {
         zeff=17.153132,
         en=3.50,
     ),
+    # ------ fourth row, main group (ALL ESTIMATED: periodic-trend values
+    # so such inputs run with qualitatively correct physics; no reference
+    # validation targets exist for them in-tree) ------
+    19: _rec(  # K (ESTIMATED)
+        shells=("4s", "4p"),
+        ngauss=(6, 6),
+        levels=(-4.510348, -1.247693),
+        slater=(0.931776, 0.650000),
+        refocc=(1.0, 0.0),
+        shpoly=(-0.03, -0.01),
+        gam=0.136553,
+        lgam=(1.0, 1.0),
+        gam3=0.0877872,
+        alpha=0.482206,
+        zeff=12.161756,
+        en=0.82,
+    ),
+    20: _rec(  # Ca (ESTIMATED)
+        shells=("4s", "4p", "3d"),
+        ngauss=(6, 6, 4),
+        levels=(-5.918000, -2.100000, -1.000000),
+        slater=(1.165670, 0.854000, 1.000000),
+        refocc=(2.0, 0.0, 0.0),
+        shpoly=(-0.03, -0.01, 0.0),
+        gam=0.202064,
+        lgam=(1.0, 1.0, 1.0),
+        gam3=0.0534321,
+        alpha=0.748906,
+        zeff=17.255237,
+        en=1.00,
+    ),
+    35: _rec(  # Br (ESTIMATED; halogen-bond donor)
+        shells=("4s", "4p", "4d"),
+        ngauss=(6, 6, 4),
+        levels=(-22.430876, -12.428016, -0.500000),
+        slater=(2.831700, 2.190000, 1.300000),
+        refocc=(2.0, 5.0, 0.0),
+        shpoly=(-0.025, 0.004, 0.0),
+        gam=0.428791,
+        lgam=(1.0, 1.0, 1.0),
+        gam3=0.0364339,
+        alpha=1.244578,
+        zeff=35.000000,
+        en=2.96,
+        xbond=0.81,
+    ),
+    53: _rec(  # I (ESTIMATED; halogen-bond donor)
+        shells=("5s", "5p", "5d"),
+        ngauss=(6, 6, 4),
+        levels=(-19.875752, -11.031935, -0.500000),
+        slater=(2.776000, 2.172000, 1.300000),
+        refocc=(2.0, 5.0, 0.0),
+        shpoly=(-0.025, 0.004, 0.0),
+        gam=0.384677,
+        lgam=(1.0, 1.0, 1.0),
+        gam3=0.0313851,
+        alpha=0.877423,
+        zeff=30.961609,
+        en=2.66,
+        xbond=1.38,
+    ),
 }
 
 
@@ -394,11 +455,14 @@ COVALENT_RADII_A[1:21] = [
     1.40, 1.25, 1.13, 1.04, 1.10, 1.02, 0.99, 0.96,
     1.76, 1.54,
 ]
+# 4th/5th-row main group (Pyykko single-bond set; ESTIMATED elements)
+COVALENT_RADII_A[31:37] = [1.24, 1.21, 1.21, 1.16, 1.14, 1.17]
+COVALENT_RADII_A[49:55] = [1.42, 1.40, 1.40, 1.36, 1.33, 1.31]
 
 #: Atomic radii for the H0 distance polynomial (Angstrom). Initialized from
 #: the covalent set; refined per element by the fit overlay.
 ATOMIC_RADII_A = np.zeros(119)
-ATOMIC_RADII_A[1:21] = COVALENT_RADII_A[1:21]
+ATOMIC_RADII_A[1:] = COVALENT_RADII_A[1:]
 
 _L_OF_LETTER = {"s": 0, "p": 1, "d": 2, "f": 3}
 

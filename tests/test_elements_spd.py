@@ -137,3 +137,15 @@ def test_halogen_bond_term_prefers_linear():
     e_bent = e_at(90.0)
     assert e_linear < e_bent
     assert e_linear < 0.0   # attractive at sigma-hole geometry
+
+
+def test_fourth_row_elements_run():
+    """K/Ca/Br/I (ESTIMATED tables) converge with finite energies."""
+    e_kbr, r = _energy([19, 35], [[0, 0, 0], [0, 0, 2.82]])
+    assert r < 1e-8 and -6.0 < e_kbr < -2.0
+    e_ch3i, r2 = _energy(
+        [6, 1, 1, 1, 53],
+        [[0, 0, 0], [1.03, 0, -0.36], [-0.51, 0.89, -0.36],
+         [-0.51, -0.89, -0.36], [0, 0, 2.14]],
+    )
+    assert r2 < 1e-8 and np.isfinite(e_ch3i)
