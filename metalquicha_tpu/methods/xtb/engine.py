@@ -95,6 +95,9 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
         disp_a1=g.disp_a1,
         disp_a2=g.disp_a2,
         multipoles=bool(getattr(g, "multipoles", False)),
+        eta_average=getattr(g, "eta_average", "harmonic"),
+        cn_type=getattr(g, "cn_type", "exp"),
+        kpol_mode=getattr(g, "kpol_mode", "flat"),
     )
     base.update(overrides)
     import json as _json

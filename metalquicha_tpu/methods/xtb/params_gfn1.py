@@ -106,6 +106,12 @@ class GlobalParams:
     disp_a2: float = 5.0
     disp_s9: float = 0.0     # GFN1 uses two-body D3(BJ) only
     kdiff_enscale: bool = True  # apply EN factor to all off-site pairs
+    # functional-form selections (empirically identified against the
+    # reference validation set; see EngineSettings for the semantics)
+    eta_average: str = "harmonic"
+    cn_type: str = "exp"
+    kpol_mode: str = "flat"
+    multipoles: bool = False
 
 
 # ---------------------------------------------------------------------------
