@@ -32,6 +32,20 @@ from . import params_gfn1
 PAD_LEVEL = 100.0  # Hartree; self-energy of padded shells
 PAD_COORD_STEP = 1000.0  # Bohr between padded atoms
 
+#: order of the traced global-constant vector carried per fragment
+#: (differentiable in the parameter fit, sourced from params.GLOBALS)
+GLB_FIELDS = ("kss", "ksp", "ksd", "kpp", "kpd", "kdd", "kpol", "ken",
+              "kexp", "rexp", "gexp", "kcn_exp")
+
+
+def global_vector(variant: str = "gfn1") -> np.ndarray:
+    if variant == "gfn2":
+        from . import params_gfn2 as params
+    else:
+        params = params_gfn1
+    g = params.GLOBALS
+    return np.array([getattr(g, f) for f in GLB_FIELDS], dtype=np.float64)
+
 
 @dataclass
 class ElementBasis:
@@ -167,6 +181,7 @@ class XtbBatch:
     at_e0: np.ndarray
     at_xbond: np.ndarray
     at_aes: np.ndarray       # (B, nat, 5) mrad/dkernel/qkernel/d4ga/d4zref
+    glb: np.ndarray          # (B, 12) global constants (see GLB_FIELDS)
 
     @property
     def n_fragments(self) -> int:
@@ -256,6 +271,7 @@ def build_batch(
         at_aes=np.tile(
             np.array([3.0, 1.0, 0.1, 3.0, 4.0]), (B, nat, 1)
         ),
+        glb=np.tile(global_vector(variant), (B, 1)),
     )
 
     for b, (numbers, coords, charge, mult) in enumerate(norm):

@@ -67,6 +67,7 @@ class FragmentData(NamedTuple):
     at_e0: jnp.ndarray
     at_xbond: jnp.ndarray
     at_aes: jnp.ndarray
+    glb: jnp.ndarray
     d3_ref_cn: jnp.ndarray
     d3_zidx: jnp.ndarray
     d3_c6_pair: jnp.ndarray
@@ -133,6 +134,7 @@ def fragment_data_from_batch(
         at_e0=f(batch.at_e0),
         at_xbond=f(batch.at_xbond),
         at_aes=f(batch.at_aes),
+        glb=f(batch.glb),
         d3_ref_cn=f(np.stack([t["ref_cn"] for t in d3])),
         d3_zidx=f(np.stack([t["zidx"] for t in d3])),
         d3_c6_pair=f(
@@ -184,7 +186,7 @@ def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
     """
     frag = jax.tree.map(jax.lax.stop_gradient, frag)
     c = jax.lax.stop_gradient(coords)
-    cn = coordination_numbers(c, frag.at_rcov, frag.atom_mask, settings.kcn_steep, settings.cn_type)
+    cn = coordination_numbers(c, frag.at_rcov, frag.atom_mask, frag.glb[11], settings.cn_type)
     gamma = gamma_matrix(c, frag, settings)
     gamma_at = _solv_gamma(c, frag, solvation)
     if settings.multipoles:
@@ -228,7 +230,7 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
             frag.prim_coeff,
         )
         cn = coordination_numbers(
-            coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep,
+            coords, frag.at_rcov, frag.atom_mask, frag.glb[11],
             settings.cn_type,
         )
         H0 = h0_matrix(S, coords, frag, cn, settings)
@@ -237,7 +239,7 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
             H0, S, gamma, frag, kt, settings, q_star, diff_scf_iters,
             gamma_at,
         )
-    cn = coordination_numbers(coords, frag.at_rcov, frag.atom_mask, settings.kcn_steep, settings.cn_type)
+    cn = coordination_numbers(coords, frag.at_rcov, frag.atom_mask, frag.glb[11], settings.cn_type)
     nat = frag.atom_mask.shape[0]
     if settings.multipoles:
         # GFN2 path: AES + charge-scaled dispersion live INSIDE the
@@ -276,7 +278,7 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         dipole = ((frag.atom_mask * q_at)[:, None] * coords).sum(0)
     e_rep = repulsion_energy(
         coords, frag.at_zeff, frag.at_alpha, frag.atom_mask,
-        settings.kexp_rep, settings.rexp_rep,
+        frag.glb[8], frag.glb[9],
     )
 
     # per-element atomic reference constants (zero geometric derivatives);

@@ -168,16 +168,23 @@ def h0_matrix(S, coords, batch, cn, settings: EngineSettings):
     ao_en = batch.at_en[batch.ao_atom]
     ao_rad = batch.at_rad[batch.ao_atom]
 
-    kll = jnp.asarray(settings.kll)
+    # global constants ride batch.glb (traced -> differentiable in fits);
+    # GLB_FIELDS order: kss ksp ksd kpp kpd kdd kpol ken kexp rexp gexp kcn
+    glb = batch.glb
+    kll = jnp.stack([
+        jnp.stack([glb[0], glb[1], glb[2]]),
+        jnp.stack([glb[1], glb[3], glb[4]]),
+        jnp.stack([glb[2], glb[4], glb[5]]),
+    ])
+    kpol = glb[6]
+    ken = glb[7]
     K = kll[ao_l[:, None], ao_l[None, :]]
     pol_pair = (ao_pol[:, None] + ao_pol[None, :]) > 0.5
     if settings.kpol_mode.startswith("avg"):
-        kdiag = jnp.asarray(
-            [settings.kll[0][0], settings.kll[1][1], settings.kll[2][2]]
-        )
+        kdiag = jnp.stack([glb[0], glb[3], glb[5]])
         k_self = kdiag[ao_l]
-        k_mix = 0.5 * (k_self[:, None] + settings.kpol)
-        k_mix_t = 0.5 * (settings.kpol + k_self[None, :])
+        k_mix = 0.5 * (k_self[:, None] + kpol)
+        k_mix_t = 0.5 * (kpol + k_self[None, :])
         one_pol = pol_pair & ~(
             (ao_pol[:, None] > 0.5) & (ao_pol[None, :] > 0.5)
         )
@@ -187,11 +194,11 @@ def h0_matrix(S, coords, batch, cn, settings: EngineSettings):
             jnp.where(ao_pol[:, None] > 0.5, k_mix_t, k_mix),
             K,
         )
-        K = jnp.where(both_pol, settings.kpol, K)
+        K = jnp.where(both_pol, kpol, K)
     else:
-        K = jnp.where(pol_pair, settings.kpol, K)
+        K = jnp.where(pol_pair, kpol, K)
 
-    en_fac = 1.0 + settings.ken * (ao_en[:, None] - ao_en[None, :]) ** 2
+    en_fac = 1.0 + ken * (ao_en[:, None] - ao_en[None, :]) ** 2
     if settings.kpol_mode.endswith("_noen"):
         en_fac = jnp.where(pol_pair, 1.0, en_fac)
 
@@ -225,7 +232,7 @@ def gamma_matrix(coords, batch, settings: EngineSettings):
         eta_avg = 0.5 * (eta_i + eta_j)
     else:
         eta_avg = 2.0 * eta_i * eta_j / (eta_i + eta_j)
-    g = settings.gexp
+    g = batch.glb[10]
     return (r_sh**g + eta_avg ** (-g)) ** (-1.0 / g)
 
 
@@ -530,7 +537,7 @@ def electronic_energy_multipole(coords, z_star, batch, kt,
         batch.prim_coeff,
     )
     cn = coordination_numbers(
-        coords, batch.at_rcov, batch.atom_mask, settings.kcn_steep,
+        coords, batch.at_rcov, batch.atom_mask, batch.glb[11],
         settings.cn_type,
     )
     H0 = h0_matrix(S, coords, batch, cn, settings)
@@ -704,7 +711,7 @@ def electronic_energy(
         coords, batch.ao_atom, batch.ao_lxyz, batch.prim_alpha, batch.prim_coeff
     )
     cn = coordination_numbers(
-        coords, batch.at_rcov, batch.atom_mask, settings.kcn_steep,
+        coords, batch.at_rcov, batch.atom_mask, batch.glb[11],
         settings.cn_type,
     )
     H0 = h0_matrix(S, coords, batch, cn, settings)

@@ -88,9 +88,10 @@ def theta_init(variant: str = "gfn1") -> dict:
     theta["d3_pairs"] = jnp.asarray(
         full[np.ix_(gidx, gidx)], dtype=jnp.float64
     )
-    # NOTE: global K factors are static EngineSettings, not part of theta —
-    # including them as inert leaves lets the optimizer drift them with zero
-    # gradient, which then corrupts settings when the overlay is applied.
+    # global constants (kss..kcn_exp) are traced through FragmentData.glb
+    from .batch import global_vector
+
+    theta["globals"] = jnp.asarray(global_vector(variant))
     return theta
 
 
@@ -149,6 +150,12 @@ def theta_to_tables(theta: dict, variant: str = "gfn1") -> None:
                 ("mrad", "dkernel", "qkernel", "d4ga", "d4zref")
             ):
                 object.__setattr__(rec, name, float(aes[k]))
+    if "globals" in theta:
+        from .batch import GLB_FIELDS
+
+        gvec = np.asarray(theta["globals"])
+        for k, name in enumerate(GLB_FIELDS):
+            setattr(params.GLOBALS, name, float(gvec[k]))
 
 
 
@@ -388,7 +395,14 @@ class FragmentSpec:
         gidx = jnp.asarray([_Z_TO_IDX[z] for z in FITTED_Z])
         table = table.at[gidx[:, None], gidx[None, :]].set(pairs)
 
+        glb = (
+            theta["globals"]
+            if "globals" in theta
+            else base.glb
+        )
+
         return base._replace(
+            glb=glb,
             d3_c6_pair=table,
             sh_level=sh_level,
             sh_kcn=sh_kcn,

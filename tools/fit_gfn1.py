@@ -132,6 +132,7 @@ PRIOR_WEIGHTS = {
     "rad": 1e-4,
     "rcov": 3e-3,
     "d3_pairs": 1e-5,
+    "globals": 3e-3,
 }
 
 
@@ -147,6 +148,10 @@ def prior_weight_vector(theta) -> np.ndarray:
     if "d3_pairs" in theta:
         w["d3_pairs"] = jnp.full_like(
             theta["d3_pairs"], PRIOR_WEIGHTS["d3_pairs"]
+        )
+    if "globals" in theta:
+        w["globals"] = jnp.full_like(
+            theta["globals"], PRIOR_WEIGHTS["globals"]
         )
     flat, _ = ravel_pytree(w)
     return np.asarray(flat)
@@ -556,6 +561,11 @@ def main() -> int:
         },
         "residuals": residuals,
     }
+    if "globals" in theta:
+        from metalquicha_tpu.methods.xtb.batch import GLB_FIELDS
+
+        gvec = np.asarray(theta["globals"])
+        out["globals"] = {n: float(gvec[k]) for k, n in enumerate(GLB_FIELDS)}
     if "d3_pairs" in theta:
         from metalquicha_tpu.methods.xtb.dispersion_d3 import REF_CN
         from metalquicha_tpu.methods.xtb.param_fit import FITTED_Z
