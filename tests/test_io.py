@@ -396,9 +396,11 @@ def test_method_config_families_roundtrip():
     assert mc.use_spherical is True
 
 
-def test_verbose_breakdown_output(capsys):
+def test_verbose_breakdown_output():
     """Per-fragment XYZ + deltaE breakdown at verbose level
     (mqc_mbe_io.f90:48-155)."""
+    import io
+
     import numpy as np
 
     from metalquicha_tpu.frag.mbe_io import (
@@ -410,17 +412,18 @@ def test_verbose_breakdown_output(capsys):
     assert get_frag_level_name(2) == "dimers"
     assert get_frag_level_name(11) == "11-mers"
 
-    old = logger.level
+    old_level, old_stream = logger.level, logger.stream
     logger.set_level("verbose")
+    logger.stream = io.StringIO()
     try:
         polymers = np.array([[0, -1], [1, -1], [0, 1]])
         print_detailed_breakdown(
             polymers, np.array([-1.0, -2.0, -3.1]), np.array([0, 0, -0.1]), 2
         )
+        text = logger.stream.getvalue()
     finally:
-        logger.level = old
-    outp = capsys.readouterr()
-    text = outp.out + outp.err
+        logger.level = old_level
+        logger.stream = old_stream
     assert "Monomers (2 fragments):" in text
     assert "Dimers (1 fragments):" in text
     assert "Fragment [1,2]" in text and "deltaE:" in text
