@@ -320,8 +320,14 @@ class XtbCalculator:
         energies, grads, aux = calc.gradients(batch)
     """
 
-    def __init__(self, settings: EngineSettings = EngineSettings(),
+    def __init__(self, settings: EngineSettings = None,
                  variant: str = "gfn1", dtype=jnp.float64, solvation=None):
+        if settings is None:
+            # derive from the variant's GLOBALS (form-variant flags like
+            # eta_average live there and must reach the engine)
+            from .engine import settings_from_params
+
+            settings = settings_from_params(variant)
         self.settings = settings
         self.variant = variant
         self.dtype = dtype
