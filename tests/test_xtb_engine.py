@@ -244,3 +244,50 @@ def test_cds_and_shift_flags_change_energy():
     # CDS is additive and nonzero for a water-sized cavity
     assert abs(e10 - e00) > 1e-4
     np.testing.assert_allclose(e11 - e10, e01 - e00, atol=1e-12)
+
+
+def test_gfn2_multipole_scc_and_gradients():
+    """GFN2 AES path: converges, stationary-functional gradients match FD."""
+    import jax
+    import numpy as np
+
+    from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
+    from metalquicha_tpu.geometry import (
+        SystemGeometry,
+        build_fragment_from_indices,
+    )
+    from metalquicha_tpu.methods.xtb.calculator import XtbCalculator
+    from metalquicha_tpu.methods.xtb.engine import settings_from_params
+
+    w = SystemGeometry(
+        numbers=[8, 1, 1],
+        coords=np.array(
+            [[0, 0, 0], [0, 0, 0.9572], [0.9239, 0, -0.2399]]
+        ) * ANGSTROM_TO_BOHR,
+        fragment_atoms=[np.arange(3)],
+        fragment_charges=[0],
+        fragment_multiplicities=[1],
+    )
+    fr = build_fragment_from_indices(w, [0])
+    calc = XtbCalculator(
+        settings_from_params("gfn2", multipoles=True), variant="gfn2"
+    )
+    fd = calc.make_batch([fr])
+    e, g, aux = calc.gradients(fd)
+    assert float(np.asarray(aux["scf_residual"])[0]) < 1e-9
+    e0 = float(np.asarray(e)[0])
+    assert np.isfinite(e0)
+
+    # FD cross-check of one gradient component (AES terms included)
+    g0 = np.asarray(g)[0]
+    h = 1e-4
+    c = np.asarray(fd.coords).copy()
+    for (ia, d) in ((1, 2), (0, 0)):
+        cp = c.copy()
+        cp[0, ia, d] += h
+        ep, _ = calc.energies(fd._replace(coords=cp))
+        cm = c.copy()
+        cm[0, ia, d] -= h
+        em, _ = calc.energies(fd._replace(coords=cm))
+        fdg = (float(np.asarray(ep)[0]) - float(np.asarray(em)[0])) / (2 * h)
+        assert abs(fdg - g0[ia, d]) < 5e-6, (ia, d, fdg, g0[ia, d])

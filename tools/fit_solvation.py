@@ -73,7 +73,7 @@ def build_eval():
     models = {
         "alpb": BornSolvation(dielectric=80.2, alpb=True),
         "gbsa": BornSolvation(dielectric=80.2, alpb=False),
-        "cpcm": CpcmSolvation(dielectric=80.2, nang=230),
+        "cpcm": CpcmSolvation(dielectric=80.2, nang=1000),  # match w1_water_cpcm input
     }
 
     jitted = {}
@@ -108,10 +108,11 @@ def build_eval():
             [x[10] * ANGSTROM_TO_BOHR, 0.0,
              born_mod.GSHIFT_DEFAULT, born_mod.PROBE_RADIUS])
         sc_c = jnp.asarray([x[11], x[12], 0.0, 0.0])
+        rv_c = jnp.asarray(np.where(is_h, x[13], x[14]) * ANGSTROM_TO_BOHR)
         return {
             "alpb": float(jitted["alpb"](rv_a, sx_a, sc_a)),
             "gbsa": float(jitted["gbsa"](rv_g, sx_g, sc_g)),
-            "cpcm": float(jitted["cpcm"](rv_a, jnp.zeros_like(sx_a), sc_c)),
+            "cpcm": float(jitted["cpcm"](rv_c, jnp.zeros_like(sx_a), sc_c)),
         }
 
     return energies
@@ -123,13 +124,13 @@ def build_eval():
 # [6:11] GBSA same five; [11:13] CPCM cosmo_x, zeta
 X0 = np.array([1.20, 1.52, 0.85, 0.85, 0.09, 0.571412,
                1.20, 1.52, 0.85, 0.85, 0.09,
-               0.5, 1.07])
+               0.5, 1.07, 1.20, 1.52])
 LB = np.array([0.6, 0.9, 0.3, 0.3, 0.0, 0.0,
                0.6, 0.9, 0.3, 0.3, 0.0,
-               0.0, 0.5])
+               0.0, 0.5, 0.6, 0.9])
 UB = np.array([2.5, 2.8, 1.2, 1.2, 0.6, 2.0,
                2.5, 2.8, 1.2, 1.2, 0.6,
-               2.0, 2.5])
+               2.0, 2.5, 2.5, 2.8])
 
 
 def apply_params(x):
@@ -154,6 +155,13 @@ def residuals_fn(energies, nang=230):
     return f
 
 
+NAMES = ["alpb_vdw_H", "alpb_vdw_O", "alpb_descreen_H", "alpb_descreen_O",
+         "alpb_rho_offset_A", "alpb_alpha",
+         "gbsa_vdw_H", "gbsa_vdw_O", "gbsa_descreen_H", "gbsa_descreen_O",
+         "gbsa_rho_offset_A", "cosmo_x", "cpcm_zeta",
+         "cpcm_vdw_H", "cpcm_vdw_O"]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=40)
@@ -163,6 +171,19 @@ def main() -> int:
 
     energies = build_eval()
     f = residuals_fn(energies, args.nang)
+    # warm start from the installed overlay when present
+    try:
+        import json as _json
+
+        prev = _json.load(open(args.out))
+        x0_map = dict(zip(names, X0))
+        for k, v in prev.items():
+            if k in x0_map:
+                x0_map[k] = float(v)
+        X0[:] = [x0_map[k] for k in names]
+        print("warm-started from", args.out)
+    except Exception:
+        pass
     t0 = time.time()
     r0 = f(X0)
     print("start residuals:", r0, f"[{time.time()-t0:.0f}s]")
@@ -174,10 +195,7 @@ def main() -> int:
         verbose=2, x_scale="jac",
     )
     print("final residuals:", f(res.x))
-    names = ["alpb_vdw_H", "alpb_vdw_O", "alpb_descreen_H", "alpb_descreen_O",
-             "alpb_rho_offset_A", "alpb_alpha",
-             "gbsa_vdw_H", "gbsa_vdw_O", "gbsa_descreen_H", "gbsa_descreen_O",
-             "gbsa_rho_offset_A", "cosmo_x", "cpcm_zeta"]
+    names = NAMES
     out = dict(zip(names, res.x.tolist()))
     out["residuals"] = dict(zip(EXPECTED, f(res.x).tolist()))
     with open(args.out, "w") as fh:
