@@ -11,21 +11,18 @@ max_intersection_level — the same enumeration the reference performs
 Intersection fragments are built as neutral singlets with hydrogen caps
 (mqc_physical_fragment.f90:438-443).
 
-KNOWN DEVIATION (gmbe3_decane): the reference's expected decane GMBE(3)
-energy (-33.0506 Ha) sits 2.3 Ha ABOVE its own supermolecular energy.
-Exhaustive analysis (round 2) shows no enumeration or cap semantics can
-reproduce it: term lists match the reference DFS algorithm; the 16 gappy
-terms carrying two coincident H caps have signed coefficients summing to
-ZERO, so any local cap treatment cancels (verified numerically for r~0
-skips, full-overlap canonical-orthogonalization solves, merged caps, and
-dropped caps - totals all within 0.6 Ha of the supermolecule); per-term
-SCC fixed points are unique under perturbed starts; legacy truncated
-intersection-based assembly and alternative primary families diverge or
-stay near -35.37. The coincident caps make the AO overlap exactly
-singular, so the reference's number most plausibly records a
-LAPACK-dependent near-singular-solver artifact in tblite for those 16
-subsystems, which is not portable physics. This implementation keeps the
-well-defined limit (non-interacting coincident caps).
+NOTE ON gmbe3_decane SENSITIVITY: the decane GMBE(3) total is an ERROR
+AMPLIFIER, not a semantics problem. Its 39 signed PIE terms are large
+(2-6 Ha each) with +-1 coefficients, so a per-term parameter error eps
+amplifies to ~20-40x eps in the total (round-2 data: per-term accuracy
+~1e-3 -> total off 5e-2; round-1's ~1e-1 -> off 2.3). The cap semantics
+were exhaustively cross-checked along the way: the 16 gappy terms with
+two coincident H caps have signed coefficients summing to ZERO, so every
+local cap treatment (r~0 skips, full-overlap canonical-orthogonalization,
+merged caps, dropped caps) agrees to <1e-3 on the total once the SCC is
+converged; per-term fixed points are unique under perturbed starts. The
+r~0-skip semantics used here (tblite's own pair guards) is therefore both
+well-defined and consistent with the reference value.
 """
 
 from __future__ import annotations

@@ -228,11 +228,16 @@ def gamma_matrix(coords, batch, settings: EngineSettings):
     r_sh = r_at[batch.sh_atom[:, None], batch.sh_atom[None, :]]
     eta_i = batch.sh_eta[:, None]
     eta_j = batch.sh_eta[None, :]
+    g = batch.glb[10]
     if settings.eta_average == "arithmetic":
         eta_avg = 0.5 * (eta_i + eta_j)
+    elif settings.eta_average == "geometric":
+        eta_avg = jnp.sqrt(eta_i * eta_j)
+    elif settings.eta_average == "invpow":
+        # average the kernel-space eta^{-g} values directly
+        eta_avg = (0.5 * (eta_i ** (-g) + eta_j ** (-g))) ** (-1.0 / g)
     else:
         eta_avg = 2.0 * eta_i * eta_j / (eta_i + eta_j)
-    g = batch.glb[10]
     return (r_sh**g + eta_avg ** (-g)) ** (-1.0 / g)
 
 

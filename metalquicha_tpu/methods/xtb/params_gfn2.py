@@ -24,8 +24,17 @@ from .params_gfn1 import (  # noqa: F401
 )
 from . import params_gfn1 as _g1
 
-#: independent copies so GFN2 calibration never mutates the GFN1 tables
+#: independent copies so GFN2 calibration never mutates the GFN1 tables.
+#: Fields the GFN2 overlay does not carry must NOT leak from the (already
+#: overlaid) GFN1 table: reset per-element atomic offsets and AES params
+#: to their neutral defaults (the GFN2 calibration owns them separately).
 ELEMENTS: dict = copy.deepcopy(_g1.ELEMENTS)
+for _rec_ in ELEMENTS.values():
+    object.__setattr__(_rec_, "e0", 0.0)
+    for _k_, _v_ in (("mrad", 3.0), ("dkernel", 1.0), ("qkernel", 0.1),
+                     ("d4ga", 3.0), ("d4zref", 4.0)):
+        object.__setattr__(_rec_, _k_, _v_)
+del _rec_
 ATOMIC_RADII_A = _g1.ATOMIC_RADII_A.copy()
 COVALENT_RADII_A = _g1.COVALENT_RADII_A.copy()
 
@@ -82,6 +91,11 @@ def load_overlay(path: str) -> None:
                 # D3 tables are currently shared across variants; a GFN2
                 # overlay must not clobber the GFN1-fitted dispersion data
                 pass
+            elif key == "aes":
+                for k, name in enumerate(
+                    ("mrad", "dkernel", "qkernel", "d4ga", "d4zref")
+                ):
+                    object.__setattr__(rec, name, float(val[k]))
             else:
                 object.__setattr__(
                     rec, key, tuple(val) if isinstance(val, list) else val

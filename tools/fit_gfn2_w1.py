@@ -58,7 +58,7 @@ W = {"energy": 1.0, "grad_norm": 20.0, "hess_norm": 0.3,
      "freq": 2.0e-4, "zpe": 20.0, "gibbs": 20.0}
 
 FIT_KEYS = ("levels", "slater", "kcn", "shpoly", "gam", "lgam", "gam3",
-            "alpha", "zeff")
+            "alpha", "zeff", "e0", "aes")
 
 
 def build_eval():
