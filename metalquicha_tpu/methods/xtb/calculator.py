@@ -193,7 +193,10 @@ def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
         from .engine import scf_solve_multipole
         from .multipole import moment_matrices
 
-        S, D, Q = moment_matrices(
+        S = overlap_matrix(
+            c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff
+        )
+        _S_mm, D, Q = moment_matrices(
             c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff
         )
         H0 = h0_matrix(S, c, frag, cn, settings)

@@ -449,12 +449,21 @@ def _aes_fock(H0, S, z, coords, gamma, batch, settings, gamma_at, mp):
     # charge part: dE/dn = -dE/dq, standard shift
     v_ao = vq[batch.ao_shell]
     F = H0 - 0.5 * (v_ao[:, None] + v_ao[None, :]) * S
-    # multipole part: mu_A = -sum_{k in A, l} P_kl D_kl  (linear in P)
+    # multipole part: mu_A = -sum_{k in A, l} P_kl D_kl  (linear in P).
+    # theta is stored TRACELESS (camm_moments subtracts tr/3 from the
+    # diagonal); the adjoint of that projection must be applied to the
+    # theta-potential before contracting with the RAW quadrupole integrals,
+    # or the variational trace identity (and the stationarity the gradient
+    # path relies on) breaks.
     D, Q = mp["D"], mp["Q"]
-    G = -jnp.einsum("kd,dkl->kl", vmu[batch.ao_atom], D) - jnp.einsum(
-        "kd,dkl->kl", vth[batch.ao_atom], Q
+    tr_v = (vth[:, 0] + vth[:, 1] + vth[:, 2]) / 3.0
+    vth_eff = (
+        vth.at[:, 0].add(-tr_v).at[:, 1].add(-tr_v).at[:, 2].add(-tr_v)
     )
-    return F + 0.5 * (G + G.T), (vq, vmu, vth)
+    G = -jnp.einsum("kd,dkl->kl", vmu[batch.ao_atom], D) - jnp.einsum(
+        "kd,dkl->kl", vth_eff[batch.ao_atom], Q
+    )
+    return F + 0.5 * (G + G.T), (vq, vmu, vth_eff)
 
 
 def _aes_moments_of_P(P, S, batch, mp):
@@ -537,7 +546,13 @@ def electronic_energy_multipole(coords, z_star, batch, kt,
     """Variational energy at the converged moment state (GFN2/AES)."""
     from .multipole import moment_matrices
 
-    S, D, Q = moment_matrices(
+    # S from the overlap builder (padded-diagonal identity handling);
+    # moment_matrices supplies the dipole/quadrupole integrals
+    S = overlap_matrix(
+        coords, batch.ao_atom, batch.ao_lxyz, batch.prim_alpha,
+        batch.prim_coeff,
+    )
+    _S_mm, D, Q = moment_matrices(
         coords, batch.ao_atom, batch.ao_lxyz, batch.prim_alpha,
         batch.prim_coeff,
     )

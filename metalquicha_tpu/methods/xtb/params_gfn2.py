@@ -39,6 +39,7 @@ ATOMIC_RADII_A = _g1.ATOMIC_RADII_A.copy()
 COVALENT_RADII_A = _g1.COVALENT_RADII_A.copy()
 
 GLOBALS = GlobalParams(
+    multipoles=True,  # real GFN2: self-consistent AES + D4 charge scaling
     kss=1.85,
     kpp=2.23,
     kdd=2.23,

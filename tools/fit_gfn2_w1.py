@@ -83,11 +83,16 @@ def build_eval():
     displaced = jnp.asarray(displaced_geometries(coords, disp))
 
     def observables(theta):
-        e, g = e_and_g(theta, c0)
-        grads = np.asarray(grad_batch(theta, displaced))
-        hess = hessian_from_gradients(grads, disp)
-        vib = compute_vibrational_analysis(hess, numbers, coords)
-        thermo = compute_thermochemistry(vib.frequencies, numbers, coords)
+        try:
+            e, g = e_and_g(theta, c0)
+            grads = np.asarray(grad_batch(theta, displaced))
+            if not np.isfinite(grads).all() or not np.isfinite(float(e)):
+                return None
+            hess = hessian_from_gradients(grads, disp)
+            vib = compute_vibrational_analysis(hess, numbers, coords)
+            thermo = compute_thermochemistry(vib.frequencies, numbers, coords)
+        except Exception:
+            return None
         real = np.sort(vib.frequencies)[-3:]
         return {
             "energy": float(e),
@@ -128,6 +133,8 @@ def unpack(vec, meta, theta0):
 
 
 def residuals(obs):
+    if obs is None:  # failed evaluation (e.g. eigensolver blowup)
+        return np.full(8, 10.0)
     r = [
         W["energy"] * (obs["energy"] - EXPECTED["energy"]),
         W["grad_norm"] * (obs["grad_norm"] - EXPECTED["grad_norm"]),
