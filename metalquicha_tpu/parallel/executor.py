@@ -103,46 +103,58 @@ class FragmentExecutor:
 
         for bucket_atoms, members in sorted(self._buckets(fragments).items()):
             pad_to = self._pad_shapes_for(bucket_atoms, members)
-            idxs = [i for i, _ in members]
-            tuples = [t for _, t in members]
-            # pad the batch to a device-count multiple with dummy fragments
-            n_real = len(tuples)
-            rem = (-n_real) % self.n_devices
-            tuples = tuples + [_DUMMY] * rem
-
-            frag_data = self.calc.make_batch(tuples, pad_to=pad_to)
-            frag_data = shard_leading_axis(frag_data, self.mesh)
-
-            if what == "gradient":
-                e, g, aux = self.calc.gradients(frag_data)
-                g = np.asarray(g)
-            else:
-                e, aux = self.calc.energies(frag_data)
-                g = None
-            e = np.asarray(e)
-            dip = np.asarray(aux["dipole"])
-            chg = np.asarray(aux["charges"])
-            res = np.asarray(aux["scf_residual"])
-
-            for slot, i in enumerate(idxs):
-                n_at = len(tuples[slot][0])
-                energies[i] = e[slot]
-                aux_out["dipole"][i] = dip[slot]
-                aux_out["charges"][i] = chg[slot][:n_at]
-                aux_out["scf_residual"][i] = res[slot]
-                if g is not None:
-                    gradients[i] = g[slot][:n_at]
-
-            # progress heartbeat, the batched analog of the reference's
-            # "Processed k/N fragments [t s]" 10% lines
-            # (mqc_mbe_mpi_fragment_distribution_scheme.F90:608-613)
-            n_done += n_real
-            if n > 1:
-                logger.info(
-                    f"  Processed {n_done}/{n} fragments "
-                    f"[{time.time() - t0:.2f} s]"
-                )
+            # memory guard: cap B * nao^2 per dispatched batch (the engine
+            # holds several (B, nao, nao) intermediates) so e.g. a
+            # large-molecule FD-Hessian sweep (6N displacements of an
+            # N-atom system in one bucket) streams in chunks instead of
+            # materializing tens of GB
+            nao_pad = pad_to[2]
+            max_b = max(self.n_devices,
+                        int(2.0e8 // max(1, nao_pad * nao_pad)))
+            max_b -= max_b % self.n_devices or 0
+            max_b = max(self.n_devices, max_b)
+            for start in range(0, len(members), max_b):
+                chunk = members[start : start + max_b]
+                self._run_chunk(chunk, pad_to, what, energies, gradients,
+                                aux_out)
+                n_done += len(chunk)
+                if n > 1:
+                    logger.info(
+                        f"  Processed {n_done}/{n} fragments "
+                        f"[{time.time() - t0:.2f} s]"
+                    )
 
         if what == "gradient":
             return energies, gradients, aux_out
         return energies, aux_out
+
+    def _run_chunk(self, members, pad_to, what, energies, gradients, aux_out):
+        idxs = [i for i, _ in members]
+        tuples = [t for _, t in members]
+        # pad the batch to a device-count multiple with dummy fragments
+        n_real = len(tuples)
+        rem = (-n_real) % self.n_devices
+        tuples = tuples + [_DUMMY] * rem
+
+        frag_data = self.calc.make_batch(tuples, pad_to=pad_to)
+        frag_data = shard_leading_axis(frag_data, self.mesh)
+
+        if what == "gradient":
+            e, g, aux = self.calc.gradients(frag_data)
+            g = np.asarray(g)
+        else:
+            e, aux = self.calc.energies(frag_data)
+            g = None
+        e = np.asarray(e)
+        dip = np.asarray(aux["dipole"])
+        chg = np.asarray(aux["charges"])
+        res = np.asarray(aux["scf_residual"])
+
+        for slot, i in enumerate(idxs):
+            n_at = len(tuples[slot][0])
+            energies[i] = e[slot]
+            aux_out["dipole"][i] = dip[slot]
+            aux_out["charges"][i] = chg[slot][:n_at]
+            aux_out["scf_residual"][i] = res[slot]
+            if g is not None:
+                gradients[i] = g[slot][:n_at]
