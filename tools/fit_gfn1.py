@@ -80,7 +80,16 @@ GFN2_GRADNORM_TARGETS = {
 }
 
 #: residual weights (down-weight targets with known semantics uncertainty)
-TARGET_WEIGHTS = {"gmbe_decane": 0.2}
+TARGET_WEIGHTS = {
+    "gmbe_decane": 0.2,
+    # upweight near-tolerance single-molecule anchors; the conflicted
+    # unfrag-vs-fragmented pairs absorb the slack (they fail either way
+    # at their current +-2e-5 structural residual)
+    "h3o": 5.0,
+    "charged_cluster": 5.0,
+    "gly10_unfrag": 5.0,
+    "gly10_mbe": 5.0,
+}
 
 #: gradient-norm targets: name -> (energy-target providing the fragment set,
 #: expected norm). Residuals are |grad|-|grad|_ref; Jacobians are nested AD
