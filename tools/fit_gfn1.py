@@ -109,6 +109,14 @@ HESSNORM_TARGETS = {
     "h3o_hnorm": ("h3o", 1.41044994221),
 }
 
+#: MBE/GMBE-assembled Hessian-Frobenius-norm targets: the system Hessian is
+#: the IE-weighted sum of cap-redistributed per-fragment FD Hessians (the
+#: production assembly), theta-differentiable end to end.
+MBE_HESSNORM_TARGETS = {
+    "prism_hnorm": ("prism_mbe", 3.2637057004),
+    "gly3ov_hnorm": ("gmbe_gly3", 4.0770691913),
+}
+
 
 def _bucket(n):
     for b in (4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128):
@@ -337,6 +345,84 @@ class HessNormTarget:
         return float(val), np.asarray(gf)
 
 
+class MbeHessNormTarget:
+    """|assembled fragmented-system Hessian|_F as a function of theta."""
+
+    def __init__(self, name: str, settings):
+        from metalquicha_tpu.numerics.finite_differences import (
+            displaced_geometries,
+        )
+
+        energy_name, expected = MBE_HESSNORM_TARGETS[name]
+        self.name = name
+        self.expected = expected
+        frags, weights = fragments_and_weights(energy_name)
+
+        json_path = os.path.join(INPUTS, TARGETS[energy_name][0])
+        with open(json_path) as fh:
+            data = json.load(fh)
+        cfg = parse_mqc_string(emit_mqc(data, base_dir=INPUTS))
+        _n0, sg = config_to_system_geometries(cfg)[0]
+        N = sg.n_atoms
+        h = 0.005
+
+        per_frag = []
+        for frag, w in zip(frags, weights):
+            if float(w) == 0.0:
+                continue
+            nat = frag.n_total
+            pad = (_bucket(nat), 2 * _bucket(nat), int(2.5 * _bucket(nat)) + 1)
+            spec = FragmentSpec(
+                frag.numbers, frag.coords, frag.charge, frag.multiplicity,
+                pad_to=pad, variant=VARIANT,
+            )
+            disp = displaced_geometries(np.asarray(frag.coords), h)
+            base_coords = np.asarray(spec.base.coords)
+            coords_b = np.tile(base_coords, (len(disp), 1, 1))
+            coords_b[:, :nat] = disp
+            g = np.empty(nat, dtype=np.int64)
+            g[: frag.n_real] = frag.local_to_global
+            if frag.n_caps:
+                g[frag.n_real:] = frag.cap_replaces_atom
+            rows3 = (g[:, None] * 3 + np.arange(3)[None, :]).reshape(-1)
+            per_frag.append(
+                (spec, jnp.asarray(coords_b), nat, float(w),
+                 jnp.asarray(rows3))
+            )
+
+        n3 = 3 * N
+
+        def norm_fn(theta):
+            H = jnp.zeros((n3, n3))
+            for spec, coords_b, nat, w, rows3 in per_frag:
+                frag_t = spec.rebuild(theta)
+
+                def g_of(c, frag_t=frag_t):
+                    def e_of(cc):
+                        e, _ = single_point_energy(
+                            cc, frag_t._replace(coords=cc), settings,
+                            diff_scf_iters=8,
+                        )
+                        return e
+
+                    return jax.grad(e_of)(c)
+
+                gr = jax.vmap(g_of)(coords_b)[:, :nat, :].reshape(
+                    6 * nat, 3 * nat
+                )
+                Hf = (gr[0::2] - gr[1::2]) / (2.0 * h)
+                Hf = 0.5 * (Hf + Hf.T)
+                H = H.at[rows3[:, None], rows3[None, :]].add(w * Hf)
+            return jnp.sqrt((H**2).sum())
+
+        self._fn = jax.jit(jax.value_and_grad(norm_fn))
+
+    def value_and_grad(self, theta):
+        val, grad = self._fn(theta)
+        gf, _ = ravel_pytree(grad)
+        return float(val), np.asarray(gf)
+
+
 class TargetEval:
     """One validation energy as a differentiable function of theta."""
 
@@ -454,6 +540,9 @@ def main() -> int:
         elif n in HN_TARGETS:
             targets.append(HessNormTarget(n, settings))
             print(f"  target {n}: hessian norm [{time.time()-t0:.0f}s]")
+        elif n in MBE_HESSNORM_TARGETS:
+            targets.append(MbeHessNormTarget(n, settings))
+            print(f"  target {n}: MBE hessian norm [{time.time()-t0:.0f}s]")
         else:
             targets.append(TargetEval(n, settings))
             print(f"  target {n}: "
