@@ -16,13 +16,18 @@ from typing import Optional
 from ..errors import InputError
 
 #: Solvents accepted by the xTB solvation models (superset of tblite's list).
-KNOWN_SOLVENTS = {
-    "acetone", "acetonitrile", "aniline", "benzaldehyde", "benzene",
-    "ch2cl2", "chcl3", "cs2", "dioxane", "dmf", "dmso", "ether",
-    "ethylacetate", "furane", "hexadecane", "hexane", "methanol",
-    "nitromethane", "octanol", "woctanol", "phenol", "toluene", "thf",
-    "water", "h2o", "ethanol",
-}
+def _known_solvents():
+    """The driver-side dielectric lookup is the source of truth
+    (solvation/__init__.py, mirroring mqc_method_xtb.f90:557-671)."""
+    from ..methods.xtb.solvation import SOLVENT_DIELECTRICS
+
+    return set(SOLVENT_DIELECTRICS) | {
+        # names tblite's own parameter files accept for ALPB/GBSA
+        "benzaldehyde", "furane", "dichloromethane", "dcm",
+    }
+
+
+KNOWN_SOLVENTS = _known_solvents()
 
 
 def _fmt_float(x) -> str:

@@ -10,34 +10,49 @@ than silently skipping solvation.
 
 from __future__ import annotations
 
-#: solvent -> dielectric constant (ALPB/CPCM lookup; subset of tblite's list)
+#: solvent -> dielectric constant: EXACT transcription of the reference's
+#: lookup incl. aliases (mqc_method_xtb.f90:557-671)
 SOLVENT_DIELECTRICS = {
+    "water": 78.4, "h2o": 78.4,
+    "methanol": 32.7, "ch3oh": 32.7,
+    "ethanol": 24.6, "c2h5oh": 24.6,
+    "1-propanol": 20.1, "propanol": 20.1,
+    "2-propanol": 19.9, "isopropanol": 19.9,
+    "1-butanol": 17.5, "butanol": 17.5,
+    "2-butanol": 15.8,
+    "1-octanol": 9.9, "octanol": 9.9,
     "acetone": 20.7,
-    "acetonitrile": 37.5,
-    "aniline": 6.89,
-    "benzaldehyde": 17.85,
-    "benzene": 2.27,
-    "ch2cl2": 8.93,
-    "chcl3": 4.81,
-    "cs2": 2.64,
-    "dioxane": 2.21,
-    "dmf": 37.0,
-    "dmso": 46.7,
-    "ether": 4.33,
-    "ethylacetate": 6.02,
-    "furane": 2.94,
-    "hexadecane": 2.05,
-    "hexane": 1.88,
-    "methanol": 32.7,
-    "nitromethane": 35.87,
-    "octanol": 9.86,
+    "acetonitrile": 37.5, "ch3cn": 37.5,
+    "dmso": 46.7, "dimethylsulfoxide": 46.7,
+    "dmf": 36.7, "dimethylformamide": 36.7,
+    "thf": 7.6, "tetrahydrofuran": 7.6,
+    "formamide": 109.5,
+    "benzene": 2.3,
+    "toluene": 2.4,
+    "pyridine": 12.4,
+    "aniline": 6.9,
+    "nitrobenzene": 34.8,
+    "chlorobenzene": 5.6,
+    "chloroform": 4.8, "chcl3": 4.8,
+    "carbon tetrachloride": 2.2, "ccl4": 2.2,
+    "diethylether": 4.3, "ether": 4.3,
+    "dioxane": 2.2,
+    "furan": 2.9,
+    "pentane": 1.8,
+    "hexane": 1.9, "n-hexane": 1.9,
+    "cyclohexane": 2.0,
+    "heptane": 1.9, "n-heptane": 1.9,
+    "octane": 1.9, "n-octane": 1.9,
+    "decane": 2.0,
+    "hexadecane": 2.0,
+    "nitromethane": 35.9,
+    "cs2": 2.6, "carbondisulfide": 2.6,
+    "ethyl acetate": 6.0, "ethylacetate": 6.0,
+    "acetic acid": 6.2, "aceticacid": 6.2,
+    "formic acid": 51.1, "formicacid": 51.1,
+    "phenol": 9.8,
     "woctanol": 8.1,
-    "phenol": 12.4,
-    "toluene": 2.38,
-    "thf": 7.58,
-    "water": 80.2,
-    "h2o": 80.2,
-    "ethanol": 24.5,
+    "inf": 1.0e10,
 }
 
 

@@ -70,10 +70,13 @@ def build_eval():
     base = jax.tree.map(lambda x: x[0], base)
     is_h = np.asarray(numbers) == 1
 
+    from metalquicha_tpu.methods.xtb.solvation import dielectric_for
+
+    eps_w = dielectric_for("water")
     models = {
-        "alpb": BornSolvation(dielectric=80.2, alpb=True),
-        "gbsa": BornSolvation(dielectric=80.2, alpb=False),
-        "cpcm": CpcmSolvation(dielectric=80.2, nang=1000),  # match w1_water_cpcm input
+        "alpb": BornSolvation(dielectric=eps_w, alpb=True),
+        "gbsa": BornSolvation(dielectric=eps_w, alpb=False),
+        "cpcm": CpcmSolvation(dielectric=eps_w, nang=1000),  # w1_water_cpcm input
     }
 
     jitted = {}
