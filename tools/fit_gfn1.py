@@ -607,10 +607,43 @@ def main() -> int:
             print(f"    {n:<16} {ri:+.6e}")
         args.iters = 0  # skip the hand-rolled LM loop
 
+    def _checkpoint(best_flat):
+        theta_c = unravel(jnp.asarray(best_flat))
+        out_c = {
+            "elements": {
+                str(z): {k: np.asarray(v).tolist() for k, v in el.items()}
+                for z, el in theta_c["elements"].items()
+            },
+        }
+        if "globals" in theta_c:
+            from metalquicha_tpu.methods.xtb.batch import GLB_FIELDS
+
+            gv = np.asarray(theta_c["globals"])
+            out_c["globals"] = {
+                n_: float(gv[k]) for k, n_ in enumerate(GLB_FIELDS)
+            }
+        if "d3_pairs" in theta_c:
+            from metalquicha_tpu.methods.xtb.dispersion_d3 import REF_CN
+            from metalquicha_tpu.methods.xtb.param_fit import FITTED_Z
+
+            pr = np.asarray(theta_c["d3_pairs"])
+            pr = 0.5 * (pr + pr.transpose(1, 0, 3, 2))
+            out_c["d3_pairs"] = pr.tolist()
+            out_c["d3_c6_pairs"] = {
+                f"{zi}-{zj}": pr[i, j, : len(REF_CN[zi]), : len(REF_CN[zj])].tolist()
+                for i, zi in enumerate(FITTED_Z)
+                for j, zj in enumerate(FITTED_Z)
+                if zi <= zj
+            }
+        with open(args.out + ".ckpt", "w") as fh:
+            json.dump(out_c, fh)
+
     for it in range(args.iters):
         rmse_w = float(np.sqrt(((tw * r) ** 2).mean()))
         print(f"iter {it}: wrmse={rmse_w:.3e}  max|r|={np.abs(r).max():.3e} "
               f"lm={lm:.1e} [{time.time()-t0:.0f}s]")
+        if it % 5 == 0:
+            _checkpoint(best[1])
         for n, ri in zip(names, r):
             print(f"    {n:<16} {ri:+.6e}")
 
