@@ -35,7 +35,8 @@ PAD_COORD_STEP = 1000.0  # Bohr between padded atoms
 #: order of the traced global-constant vector carried per fragment
 #: (differentiable in the parameter fit, sourced from params.GLOBALS)
 GLB_FIELDS = ("kss", "ksp", "ksd", "kpp", "kpd", "kdd", "kpol", "ken",
-              "kexp", "rexp", "gexp", "kcn_exp")
+              "kexp", "rexp", "gexp", "kcn_exp",
+              "disp_s6", "disp_s8", "disp_a1", "disp_a2")
 
 
 def global_vector(variant: str = "gfn1") -> np.ndarray:

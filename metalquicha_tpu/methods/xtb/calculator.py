@@ -274,8 +274,7 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         }
         e_disp = d3_energy(
             coords, cn, d3tab, frag.atom_mask,
-            settings.disp_s6, settings.disp_s8, settings.disp_a1,
-            settings.disp_a2,
+            frag.glb[12], frag.glb[13], frag.glb[14], frag.glb[15],
         )
         q_at = jnp.zeros(nat).at[frag.sh_atom].add(q_star * frag.sh_mask)
         dipole = ((frag.atom_mask * q_at)[:, None] * coords).sum(0)

@@ -431,8 +431,7 @@ def _aes_interaction(q_sh, mu, th, coords, gamma, batch, settings,
         # scale the pair C6 table by zeta_A zeta_B (charge-dependent C6)
         e = e + d3_energy(
             coords, mp["cn"], d3tab, batch.atom_mask,
-            settings.disp_s6, settings.disp_s8,
-            settings.disp_a1, settings.disp_a2,
+            batch.glb[12], batch.glb[13], batch.glb[14], batch.glb[15],
             c6_scale=zeta[:, None] * zeta[None, :],
         )
     return e
