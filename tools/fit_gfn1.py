@@ -89,6 +89,8 @@ TARGET_WEIGHTS = {
     "charged_cluster": 5.0,
     "gly10_unfrag": 5.0,
     "gly10_mbe": 5.0,
+    "prism_unfrag": 10.0,
+    "prism_mbe": 10.0,
 }
 
 #: gradient-norm targets: name -> (energy-target providing the fragment set,
