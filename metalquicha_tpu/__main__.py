@@ -68,8 +68,13 @@ def main(argv=None) -> int:
             hn = float((out.result.hessian**2).sum() ** 0.5)
             print(f" {label}: hessian_frobenius_norm = {hn:.9f}")
 
+    # parting fact + total timer, matching the reference's rank-0 epilogue
+    # (app/main.f90:130-132: get_knowledge + "Total processing time")
+    from .logging_ import get_knowledge
+
     print(f"\n output written to {output_filename_for(args.input)}")
-    print(f" total wall time: {elapsed:.2f} s")
+    print(f" {get_knowledge()}")
+    print(f" Total processing time: {elapsed:.2f} s")
     return 0
 
 

@@ -182,7 +182,7 @@ class XtbBatch:
     at_e0: np.ndarray
     at_xbond: np.ndarray
     at_aes: np.ndarray       # (B, nat, 5) mrad/dkernel/qkernel/d4ga/d4zref
-    glb: np.ndarray          # (B, 12) global constants (see GLB_FIELDS)
+    glb: np.ndarray          # (B, len(GLB_FIELDS)) global constants
 
     @property
     def n_fragments(self) -> int:

@@ -287,12 +287,16 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     # see params_gfn1.ElementRecord.e0
     e_atomic = (frag.at_e0 * frag.atom_mask).sum()
 
-    # halogen-bond correction (GFN1; zero unless halogens present)
-    from .xbond import halogen_bond_energy
+    # halogen-bond correction — GFN1 only (tblite's GFN2 calculator has no
+    # halogen container; settings.multipoles marks the GFN2 path)
+    if settings.multipoles:
+        e_xb = jnp.zeros(())
+    else:
+        from .xbond import halogen_bond_energy
 
-    e_xb = halogen_bond_energy(
-        coords, frag.numbers, frag.at_xbond, frag.at_rcov, frag.atom_mask
-    )
+        e_xb = halogen_bond_energy(
+            coords, frag.numbers, frag.at_xbond, frag.at_rcov, frag.atom_mask
+        )
 
     energy = e_el + e_rep + e_disp + e_atomic + e_xb
     # CDS surface + solution-state shift terms (ALPB/GBSA; reference wires

@@ -105,6 +105,15 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
 
     env = _os.environ.get("MQC_FORM_VARIANT")
     if env:
+        # fitting-tool escape hatch: overrides functional-form selection for
+        # every engine in this process. Warn loudly so a stale env var can
+        # never silently change production energies.
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"MQC_FORM_VARIANT active — engine form overridden by {env}",
+            stacklevel=2,
+        )
         base.update(_json.loads(env))
     return EngineSettings(**base)
 

@@ -31,6 +31,9 @@ from . import params_gfn1 as _g1
 ELEMENTS: dict = copy.deepcopy(_g1.ELEMENTS)
 for _rec_ in ELEMENTS.values():
     object.__setattr__(_rec_, "e0", 0.0)
+    # GFN2 has no halogen-bond correction (tblite's new_gfn2_calculator
+    # carries no halogen container) — never inherit GFN1 xbond strengths
+    object.__setattr__(_rec_, "xbond", 0.0)
     for _k_, _v_ in (("mrad", 3.0), ("dkernel", 1.0), ("qkernel", 0.1),
                      ("d4ga", 3.0), ("d4zref", 4.0)):
         object.__setattr__(_rec_, _k_, _v_)

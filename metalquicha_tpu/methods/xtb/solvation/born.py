@@ -7,11 +7,16 @@ addition to the second-order kernel, exactly like tblite couples its Born
 matrix (the reference enables this path via `solvation_model = alpb|gbsa`,
 /root/reference/src/methods/mqc_method_xtb.f90:449-556).
 
-CDS (surface) and solvent-state shift terms are separate opt-ins in the
-reference input and default OFF there; they are not yet implemented here.
+CDS (surface) and solvent-state shift terms ARE implemented below
+(`surface_energy`) and default ON, matching the reference's flag defaults
+(`mqc_method_xtb.f90:44-45`, `mqc_config_parser.F90:80-81`).
 
 Parameter status: vdW radii (Bondi), descreening factors, OBC coefficients
 and ALPB alpha are CALIBRATE placeholders pending exact tblite tables.
+CDS tensions and the solution-state shift are fitted against WATER-solvent
+targets only: tensions are zero for Z>18 and GSHIFT falls back to 0 for
+solvents without an entry, so non-water CDS coverage is explicitly absent
+rather than invented (see docs/capabilities.md).
 """
 
 from __future__ import annotations
@@ -95,10 +100,14 @@ def _tension_table():
 
 SURFACE_TENSION = _tension_table()
 
-#: solution-state (reference state) shift, Hartree — CALIBRATE.
-#: RT ln(24.46) at 298.15 K (1 bar gas -> 1 M solution convention).
+#: solution-state (reference state) shift, Hartree. Water value CALIBRATEd
+#: against the reference ALPB/GBSA targets; other solvents fall back to the
+#: solvent-independent standard-state part RT ln(24.46) at 298.15 K
+#: (1 bar gas -> 1 M solution convention), which dominates the upstream
+#: per-solvent gshift values. Solvent-specific corrections beyond that are
+#: deliberately NOT invented (see module docstring).
 GSHIFT = {"water": 0.003018, "h2o": 0.003018}
-GSHIFT_DEFAULT = 0.003018
+GSHIFT_DEFAULT = 0.003018  # = RT ln(24.46), universal standard-state term
 
 
 @dataclass

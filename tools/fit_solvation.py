@@ -178,14 +178,15 @@ def main() -> int:
     try:
         import json as _json
 
-        prev = _json.load(open(args.out))
-        x0_map = dict(zip(names, X0))
+        with open(args.out) as fh:
+            prev = _json.load(fh)
+        x0_map = dict(zip(NAMES, X0))
         for k, v in prev.items():
             if k in x0_map:
                 x0_map[k] = float(v)
-        X0[:] = [x0_map[k] for k in names]
+        X0[:] = [x0_map[k] for k in NAMES]
         print("warm-started from", args.out)
-    except Exception:
+    except (FileNotFoundError, _json.JSONDecodeError):
         pass
     t0 = time.time()
     r0 = f(X0)
