@@ -6,13 +6,14 @@ and for GBSA surface integrals. Here:
 
 - The classical small Lebedev rules (6, 14, 26, 38, 50 points; octahedral
   orbits with exact rational weights) are tabulated exactly.
-- Larger requested orders use a Gauss-Legendre x equispaced-phi product
-  grid, which integrates spherical harmonics exactly up to a controlled
-  degree (2*ntheta-1). The full Lebedev-Laikov weight tables for orders
-  110+ are not reproducible offline; the product rule has the same
-  spectral exactness guarantee at ~2x the points, and all downstream
-  solvation scalars are calibrated against the reference values on the
-  grid actually used.
+- Larger rules (74, 86, 110 = the reference's CPCM default, 146, 170, 194,
+  230, 302) are RECONSTRUCTED to machine precision by solving the Lebedev
+  moment equations offline (tools/gen_lebedev.py; the rule of a given
+  orbit composition + degree is the unique such solution, so this equals
+  the published tables). They load from data/lebedev.json.
+- Any other requested order falls back to a Gauss-Legendre x equispaced-phi
+  product grid, which integrates spherical harmonics exactly up to degree
+  min(2*ntheta-1, nphi-1) at ~2x the points.
 
 All grids return (points (n,3) unit vectors, weights (n,) summing to 1).
 """
@@ -127,6 +128,57 @@ def _lebedev_50():
 
 _LEBEDEV = {6: _lebedev_6, 14: _lebedev_14, 26: _lebedev_26,
             38: _lebedev_38, 50: _lebedev_50}
+
+
+def _orbit_d(r, s):
+    """48 points: all sign/permutation images of (r, s, w), w=sqrt(1-r2-s2)."""
+    import itertools
+
+    w = np.sqrt(max(1.0 - r * r - s * s, 0.0))
+    base = (r, s, w)
+    pts = []
+    for perm in itertools.permutations(range(3)):
+        v = np.array([base[perm[0]], base[perm[1]], base[perm[2]]])
+        for signs in itertools.product((1.0, -1.0), repeat=3):
+            pts.append(v * np.array(signs))
+    return np.array(pts)
+
+
+_ORBIT_BUILDERS = {
+    "a1": lambda: _orbit_a1(),
+    "a2": lambda: _orbit_a2(),
+    "a3": lambda: _orbit_a3(),
+    "b": _orbit_b,
+    "c": _orbit_c,
+    "d": _orbit_d,
+}
+
+
+def _load_reconstructed():
+    """Reconstructed Lebedev rules (tools/gen_lebedev.py) -> {order: fn}."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                        "lebedev.json")
+    rules = {}
+    if not os.path.exists(path):
+        return rules
+    with open(path) as fh:
+        data = json.load(fh)
+    for order_s, rule in data.items():
+        def build(rule=rule):
+            pts, w = [], []
+            for orb in rule["orbits"]:
+                p = _ORBIT_BUILDERS[orb["type"]](*orb["params"])
+                pts.append(p)
+                w.append(np.full(len(p), orb["weight"]))
+            return np.concatenate(pts), np.concatenate(w)
+        rules[int(order_s)] = build
+    return rules
+
+
+_LEBEDEV.update(_load_reconstructed())
 
 
 def gauss_product_grid(n_target: int):

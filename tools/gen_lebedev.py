@@ -1,0 +1,314 @@
+#!/usr/bin/env python3
+"""Reconstruct Lebedev-Laikov angular quadrature rules offline.
+
+A Lebedev rule of a given octahedral orbit composition and algebraic degree
+is the (essentially unique) positive-weight solution of the moment
+equations: for every monomial x^2i y^2j z^2k with 2(i+j+k) <= degree,
+
+    sum_orbits w_o * S_o(i,j,k) = (2i-1)!!(2j-1)!!(2k-1)!! / (2n+1)!!
+
+(surface measure normalized to 1, n = i+j+k). The weights enter linearly,
+so for trial nonlinear orbit parameters theta the optimal weights solve a
+linear least-squares problem; the outer solve over theta (<= 12 dims) is a
+multistart trust-region least-squares. A converged solution (residual at
+f64 round-off, all weights positive) IS the Lebedev rule — the published
+tables are the same solutions printed to 15 digits.
+
+Orbit types (Lebedev & Laikov, 1999 — gen_oh codes):
+  a1: 6  points (+-1,0,0)+perm           a2: 12 points (+-1,+-1,0)/sqrt2+perm
+  a3: 8  points (+-1,+-1,+-1)/sqrt3      b:  24 points (l,l,m), 2l^2+m^2=1
+  c:  24 points (p,q,0),  p^2+q^2=1      d:  48 points (r,s,w), general
+
+Compositions per rule size (standard Lebedev sequence):
+  74=a1+a2+a3+b+c (deg13)   86=a1+a3+2b+c (15)    110=a1+a3+3b+c (17)
+  146=a1+a2+a3+3b+d (19)    170=a1+a2+a3+3b+c+d (21)
+  194=a1+a2+a3+4b+c+d (23)  230=a1+a3+5b+2c+d (25)? -- verified by residual
+  302=a1+a3+6b+2c+2d (29)
+
+Writes metalquicha_tpu/methods/xtb/solvation/data/lebedev.json, loaded by
+solvation/grids.py. Self-test: regenerating the 38/50-point rules
+reproduces the exactly-tabulated parameters/weights.
+
+Reference parity: the reference defaults CPCM to a 110-point Lebedev grid
+(cpcm_nang=110, /root/reference/src/core/mqc_calculation_defaults.f90;
+plumbing /root/reference/src/methods/mqc_method_xtb.f90:557-671).
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import json
+import os
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+from metalquicha_tpu.methods.xtb.solvation.grids import (  # noqa: E402
+    _orbit_a1,
+    _orbit_a2,
+    _orbit_a3,
+    _orbit_b,
+    _orbit_c,
+)
+
+
+def _orbit_d(r, s):
+    """48 points: all sign/permutation images of (r, s, w), w=sqrt(1-r2-s2)."""
+    w = np.sqrt(max(1.0 - r * r - s * s, 0.0))
+    base = (r, s, w)
+    pts = []
+    for perm in itertools.permutations(range(3)):
+        v = np.array([base[perm[0]], base[perm[1]], base[perm[2]]])
+        for signs in itertools.product((1.0, -1.0), repeat=3):
+            pts.append(v * np.array(signs))
+    return np.array(pts)
+
+
+#: orbit type -> (n_points, n_params, builder)
+ORBITS = {
+    "a1": (6, 0, lambda: _orbit_a1()),
+    "a2": (12, 0, lambda: _orbit_a2()),
+    "a3": (8, 0, lambda: _orbit_a3()),
+    "b": (24, 1, _orbit_b),
+    "c": (24, 1, _orbit_c),
+    "d": (48, 2, _orbit_d),
+}
+
+#: rule size -> (degree, orbit composition)
+COMPOSITIONS = {
+    38: (9, ["a1", "a3", "c"]),
+    50: (11, ["a1", "a2", "a3", "b"]),
+    74: (13, ["a1", "a2", "a3", "b", "c"]),
+    86: (15, ["a1", "a3", "b", "b", "c"]),
+    110: (17, ["a1", "a3", "b", "b", "b", "c"]),
+    146: (19, ["a1", "a2", "a3", "b", "b", "b", "d"]),
+    170: (21, ["a1", "a2", "a3", "b", "b", "b", "c", "d"]),
+    194: (23, ["a1", "a2", "a3", "b", "b", "b", "b", "c", "d"]),
+    230: (25, ["a1", "a3", "b", "b", "b", "b", "b", "c", "c", "d"]),
+    302: (29, ["a1", "a3", "b", "b", "b", "b", "b", "b", "c", "c", "d", "d"]),
+}
+
+
+def _double_fact(n: int) -> float:
+    out = 1.0
+    while n > 1:
+        out *= n
+        n -= 2
+    return out
+
+
+def monomial_conditions(degree: int):
+    """[(i, j, k, exact_integral)] for representatives i>=j>=k."""
+    conds = []
+    for n in range(degree // 2 + 1):
+        for i in range(n, -1, -1):
+            for j in range(min(i, n - i), -1, -1):
+                k = n - i - j
+                if k > j:
+                    continue
+                exact = (
+                    _double_fact(2 * i - 1)
+                    * _double_fact(2 * j - 1)
+                    * _double_fact(2 * k - 1)
+                    / _double_fact(2 * n + 1)
+                )
+                conds.append((i, j, k, exact))
+    return conds
+
+
+def _orbit_moment_row(pts, conds):
+    x2, y2, z2 = pts[:, 0] ** 2, pts[:, 1] ** 2, pts[:, 2] ** 2
+    return np.array(
+        [(x2**i * y2**j * z2**k).sum() for i, j, k, _e in conds]
+    )
+
+
+def _split_params(theta, comp):
+    """theta -> per-orbit parameter tuples."""
+    out, pos = [], 0
+    for name in comp:
+        npar = ORBITS[name][1]
+        out.append(tuple(theta[pos : pos + npar]))
+        pos += npar
+    return out
+
+
+def _n_params(comp):
+    return sum(ORBITS[name][1] for name in comp)
+
+
+def _design_matrix(theta, comp, conds):
+    rows = []
+    for name, pars in zip(comp, _split_params(theta, comp)):
+        pts = ORBITS[name][2](*pars)
+        rows.append(_orbit_moment_row(pts, conds))
+    return np.stack(rows, axis=1)  # (n_conds, n_orbits)
+
+
+def _residual(theta, comp, conds, rhs):
+    A = _design_matrix(theta, comp, conds)
+    w, *_ = np.linalg.lstsq(A, rhs, rcond=None)
+    return A @ w - rhs, w
+
+
+def solve_rule(order: int, n_starts: int = 400, seed: int = 0, verbose=True):
+    """Multistart reduced least-squares for one rule; returns orbit list."""
+    from scipy.optimize import least_squares
+
+    degree, comp = COMPOSITIONS[order]
+    conds = monomial_conditions(degree)
+    rhs = np.array([c[3] for c in conds])
+    npar = _n_params(comp)
+    rng = np.random.default_rng(seed)
+
+    def f(theta):
+        return _residual(theta, comp, conds, rhs)[0]
+
+    best = None
+    for trial in range(n_starts):
+        theta0 = []
+        for name in comp:
+            if name == "b":
+                theta0.append(rng.uniform(0.05, 0.70))
+            elif name == "c":
+                theta0.append(rng.uniform(0.05, 0.95))
+            elif name == "d":
+                r = rng.uniform(0.05, 0.9)
+                s = rng.uniform(0.05, np.sqrt(max(0.99 - r * r, 1e-4)))
+                theta0 += [r, s]
+        theta0 = np.array(theta0)
+        if npar == 0:
+            res_vec, w = _residual(theta0, comp, conds, rhs)
+            cand = (np.abs(res_vec).max(), theta0, w)
+            best = cand
+            break
+        try:
+            sol = least_squares(f, theta0, method="lm", xtol=3e-16,
+                                ftol=3e-16, gtol=3e-16, max_nfev=4000)
+        except Exception:
+            continue
+        res_vec, w = _residual(sol.x, comp, conds, rhs)
+        err = np.abs(res_vec).max()
+        # the published 74-point rule genuinely carries one negative weight;
+        # everywhere else demand positivity (it selects the Lebedev branch)
+        w_ok = np.all(w > 1e-9) or (order == 74 and np.all(np.abs(w) > 1e-9))
+        if err < 1e-13 and w_ok:
+            # spurious near-degenerate solutions can satisfy the
+            # representative moment conditions yet fail off-basis
+            # exactness — the independent spherical-harmonic sweep is the
+            # arbiter, run per-candidate
+            cand_rule = {
+                "degree": degree,
+                "orbits": [
+                    {"type": name, "params": [float(p) for p in pars],
+                     "weight": float(wi)}
+                    for name, pars, wi in
+                    zip(comp, _split_params(sol.x, comp), w)
+                ],
+            }
+            if check_rule(cand_rule) < 1e-11:
+                best = (err, sol.x.copy(), w.copy())
+                if verbose:
+                    print(f"  order {order}: converged at trial {trial} "
+                          f"(max moment residual {err:.2e})")
+                break
+        if best is None and err < 1e-13 and w_ok:
+            pass  # rejected by sph-harm check; keep searching
+    if best is None or best[0] > 1e-12:
+        raise RuntimeError(
+            f"order {order}: no positive-weight solution found "
+            f"(best residual {None if best is None else best[0]})"
+        )
+    err, theta, w = best
+    orbits = []
+    for name, pars, wi in zip(comp, _split_params(theta, comp), w):
+        orbits.append(
+            {"type": name, "params": [float(p) for p in pars],
+             "weight": float(wi)}
+        )
+    return {"degree": degree, "max_moment_residual": float(err),
+            "orbits": orbits}
+
+
+def check_rule(rule) -> float:
+    """Worst spherical-harmonic integration error up to the rule's degree."""
+    from scipy.special import sph_harm_y
+
+    pts_all, w_all = [], []
+    for orb in rule["orbits"]:
+        pts = ORBITS[orb["type"]][2](*orb["params"])
+        pts_all.append(pts)
+        w_all.append(np.full(len(pts), orb["weight"]))
+    pts = np.concatenate(pts_all)
+    w = np.concatenate(w_all)
+    theta = np.arccos(np.clip(pts[:, 2], -1, 1))
+    phi = np.arctan2(pts[:, 1], pts[:, 0])
+    worst = abs(w.sum() - 1.0)
+    for ell in range(1, rule["degree"] + 1):
+        for m in range(0, ell + 1):
+            y = sph_harm_y(ell, m, theta, phi)
+            worst = max(worst, abs((w * y.real).sum()), abs((w * y.imag).sum()))
+    return worst
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--orders", default="74,86,110,146,170,194,230,302")
+    ap.add_argument("--starts", type=int, default=400)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            REPO, "metalquicha_tpu", "methods", "xtb", "solvation", "data",
+            "lebedev.json",
+        ),
+    )
+    args = ap.parse_args()
+
+    # self-test on the exactly-tabulated 38-point rule
+    r38 = solve_rule(38, n_starts=50, verbose=False)
+    c_param = [o for o in r38["orbits"] if o["type"] == "c"][0]["params"][0]
+    c_param = min(c_param, np.sqrt(1 - c_param**2))  # p<->q gauge
+    assert abs(c_param - 0.459700843380983) < 1e-12, c_param
+    print(f"self-test 38-point: c-param {c_param:.15f} OK, "
+          f"sph-harm worst {check_rule(r38):.2e}")
+
+    # merge into any existing file; write incrementally (long multistarts
+    # for the 48-point-orbit rules may be interrupted)
+    out = {}
+    if os.path.exists(args.out):
+        with open(args.out) as fh:
+            out = json.load(fh)
+    for order in (int(o) for o in args.orders.split(",")):
+        if str(order) in out:
+            print(f"order {order}: already present, skipping")
+            continue
+        try:
+            rule = solve_rule(order, n_starts=args.starts, seed=order)
+        except RuntimeError as exc:
+            print(f"  SKIP {exc}")
+            continue
+        worst = check_rule(rule)
+        npts = sum(ORBITS[o["type"]][0] for o in rule["orbits"])
+        print(f"order {order}: {npts} pts, degree {rule['degree']}, "
+              f"moment res {rule['max_moment_residual']:.2e}, "
+              f"sph-harm worst {worst:.2e}")
+        if worst < 1e-11:
+            rule["sph_harm_worst"] = worst
+            out[str(order)] = rule
+            os.makedirs(os.path.dirname(args.out), exist_ok=True)
+            with open(args.out, "w") as fh:
+                json.dump(out, fh, indent=1)
+        else:
+            print(f"  SKIP order {order}: exactness check failed")
+
+    print(f"wrote {args.out} ({sorted(int(k) for k in out)})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -26,6 +26,10 @@ def main() -> int:
     ap.add_argument("--filter", default=None)
     ap.add_argument("--tol", type=float, default=None)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--f32", action="store_true",
+                    help="run in float32 (the TPU production precision)")
+    ap.add_argument("--json-out", default=None,
+                    help="write per-case results/deltas to this JSON file")
     ap.add_argument("--skip-slow", action="store_true",
                     help="skip w20/gly10-scale tests")
     args = ap.parse_args()
@@ -33,7 +37,11 @@ def main() -> int:
     import jax
 
     jax.config.update("jax_platforms", args.platform)
-    jax.config.update("jax_enable_x64", True)
+    if args.f32:
+        # TPU f32 matmuls default to bf16 passes and stall the SCC
+        jax.config.update("jax_default_matmul_precision", "highest")
+    else:
+        jax.config.update("jax_enable_x64", True)
 
     from metalquicha_tpu.driver import run_calculation
     from metalquicha_tpu.io.config import parse_mqc_string
@@ -51,6 +59,7 @@ def main() -> int:
 
     passed = failed = errored = 0
     rows = []
+    json_rows = []
     for i, test in enumerate(tests, 1):
         name = test["name"]
         json_path = os.path.join(HERE, "inputs", test["input"])
@@ -121,6 +130,18 @@ def main() -> int:
         else:
             failed += 1
             rows.append((name, "FAIL", "; ".join(details), time.time() - t0))
+        json_rows.append(
+            {
+                "name": name,
+                "status": "PASS" if ok else "FAIL",
+                "worst_delta": worst_delta,
+                "seconds": round(time.time() - t0, 2),
+                "checks": [
+                    {"label": label, "got": float(got), "expected": float(exp)}
+                    for label, got, exp in checks
+                ],
+            }
+        )
 
     print(f"\n{'='*100}")
     for name, status, info, dt in rows:
@@ -129,6 +150,22 @@ def main() -> int:
     print(f"{'='*100}")
     print(f" {passed} passed, {failed} failed, {errored} errored "
           f"(tolerance {tol:g})")
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(
+                {
+                    "platform": args.platform,
+                    "precision": "f32" if args.f32 else "f64",
+                    "tolerance": tol,
+                    "passed": passed,
+                    "failed": failed,
+                    "errored": errored,
+                    "cases": json_rows,
+                },
+                fh,
+                indent=1,
+            )
+        print(f" wrote {args.json_out}")
     return 0 if failed == 0 and errored == 0 else 1
 
 
