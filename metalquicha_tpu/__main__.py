@@ -43,6 +43,9 @@ def main(argv=None) -> int:
 
     import jax
 
+    from .compile_cache import enable as _enable_cache
+
+    _enable_cache()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if not args.f32:

@@ -616,7 +616,7 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
     use_pallas = (
         settings.use_pallas_eigh
         and S.dtype == jnp.float32
-        and S.shape[-1] <= 48
+        and S.shape[-1] <= 64  # (N,N,128) x3 VMEM tiles; N=96 exceeds VMEM
     )
     if use_pallas:
         # orthogonalize once via S^-1/2; Jacobi kernel inside the loop

@@ -21,4 +21,8 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+from metalquicha_tpu.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
 import pytest  # noqa: E402, F401

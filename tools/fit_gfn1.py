@@ -31,6 +31,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+from metalquicha_tpu.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 
 import jax.numpy as jnp
 import numpy as np

@@ -36,6 +36,9 @@ def main() -> int:
 
     import jax
 
+    from metalquicha_tpu.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     jax.config.update("jax_platforms", args.platform)
     if args.f32:
         # TPU f32 matmuls default to bf16 passes and stall the SCC
