@@ -194,8 +194,34 @@ def test_angular_grids_exactness():
         np.testing.assert_allclose(pts[:, 0] ** 2 @ w, 1 / 3, atol=1e-13)
         if deg >= 9:
             np.testing.assert_allclose(pts[:, 0] ** 8 @ w, 1 / 9, atol=1e-13)
-    pts, w = angular_grid(110)  # product rule fallback
-    assert len(w) >= 110
+    # reconstructed Lebedev rules (tools/gen_lebedev.py): exactly-sized,
+    # exact to their full algebraic degree
+    def dfact(k):
+        out = 1.0
+        while k > 1:
+            out *= k
+            k -= 2
+        return out
+
+    for n, deg in ((74, 13), (86, 15), (110, 17), (146, 19)):
+        pts, w = angular_grid(n)
+        assert len(w) == n, f"order {n} should be a true Lebedev rule"
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-12)
+        for i, j, k in ((deg // 2, 0, 0), (3, 2, 1), (2, 2, 2)):
+            if 2 * (i + j + k) > deg:
+                continue
+            exact = (
+                dfact(2 * i - 1) * dfact(2 * j - 1) * dfact(2 * k - 1)
+                / dfact(2 * (i + j + k) + 1)
+            )
+            got = (
+                pts[:, 0] ** (2 * i) * pts[:, 1] ** (2 * j)
+                * pts[:, 2] ** (2 * k)
+            ) @ w
+            np.testing.assert_allclose(got, exact, atol=1e-12)
+    # non-tabulated orders fall back to the spectral product grid
+    pts, w = angular_grid(1000)
+    assert len(w) >= 1000
     np.testing.assert_allclose(pts[:, 2] ** 8 @ w, 1 / 9, atol=1e-13)
 
 
