@@ -200,7 +200,11 @@ def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
             c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff
         )
         H0 = h0_matrix(S, c, frag, cn, settings)
-        mp = _mp_tables(frag, cn)
+        cn_d3 = coordination_numbers(
+            c, frag.at_rcov, frag.atom_mask, frag.glb[11],
+            settings.cn_type_d3,
+        )
+        mp = _mp_tables(frag, cn_d3)
         mp["D"], mp["Q"] = D, Q
         z_star, resid = scf_solve_multipole(
             H0, S, c, gamma, frag, kt, settings, gamma_at, mp
@@ -242,7 +246,13 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
             H0, S, gamma, frag, kt, settings, q_star, diff_scf_iters,
             gamma_at,
         )
-    cn = coordination_numbers(coords, frag.at_rcov, frag.atom_mask, frag.glb[11], settings.cn_type)
+    # dispersion rides its OWN coordination number: tblite's d3 container
+    # uses the classic single-exponential D3 CN even though the hamiltonian
+    # self-energies use the double-exponential "gfn" counting
+    cn = coordination_numbers(
+        coords, frag.at_rcov, frag.atom_mask, frag.glb[11],
+        settings.cn_type_d3,
+    )
     nat = frag.atom_mask.shape[0]
     if settings.multipoles:
         # GFN2 path: AES + charge-scaled dispersion live INSIDE the

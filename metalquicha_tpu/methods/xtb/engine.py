@@ -59,9 +59,14 @@ class EngineSettings(NamedTuple):
     kpol_mode: str = "flat"
     #: shell-hardness average in the second-order kernel
     eta_average: str = "harmonic"  # or "arithmetic"
-    #: CN counting function: "exp" (single exponential) or "gfn"
-    #: (double-exponential product, tblite ncoord gfn type)
+    #: CN counting function for the H0 self-energy shifts: "exp" (single
+    #: exponential) or "gfn" (double-exponential product, tblite ncoord gfn
+    #: type — the xTB hamiltonian CN with a second long-range switch)
     cn_type: str = "exp"
+    #: CN counting function for D3 dispersion C6 interpolation. tblite's
+    #: d3 container uses the classic single-exponential D3 CN regardless of
+    #: the hamiltonian CN type, so these are INDEPENDENT knobs.
+    cn_type_d3: str = "exp"
     #: use the Pallas batched Jacobi eigensolver inside the SCC loop
     #: (TPU, f32, small AO dims; ~3.4x faster than XLA's eigh there).
     #: The final variational energy evaluation always uses jnp eigh.
@@ -97,6 +102,7 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
         multipoles=bool(getattr(g, "multipoles", False)),
         eta_average=getattr(g, "eta_average", "harmonic"),
         cn_type=getattr(g, "cn_type", "exp"),
+        cn_type_d3=getattr(g, "cn_type_d3", "exp"),
         kpol_mode=getattr(g, "kpol_mode", "flat"),
     )
     base.update(overrides)
@@ -571,7 +577,11 @@ def electronic_energy_multipole(coords, z_star, batch, kt,
     H0 = h0_matrix(S, coords, batch, cn, settings)
     gamma = gamma_matrix(coords, batch, settings)
     mp = dict(mp)
-    mp["cn"] = cn
+    # D4-style dispersion uses the D3 counting function, not the H0 one
+    mp["cn"] = coordination_numbers(
+        coords, batch.at_rcov, batch.atom_mask, batch.glb[11],
+        settings.cn_type_d3,
+    )
     mp["D"], mp["Q"] = D, Q
 
     F, (vq, vmu, vth) = _aes_fock(

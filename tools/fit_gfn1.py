@@ -585,34 +585,6 @@ def main() -> int:
     r, J = eval_all(flat)
     best = (float(np.sqrt(((tw * r) ** 2).mean())), flat.copy(), r.copy())
 
-    if args.scipy:
-        from scipy.optimize import least_squares
-
-        cache = {}
-
-        def f_res(x):
-            r_, J_ = eval_all(x)
-            cache["J"] = J_
-            return tw * r_
-
-        def f_jac(x):
-            if "J" in cache:
-                return tw[:, None] * cache.pop("J")
-            _, J_ = eval_all(x)
-            return tw[:, None] * J_
-
-        res = least_squares(
-            f_res, flat, jac=f_jac, method="trf", x_scale="jac",
-            tr_solver="exact", max_nfev=args.iters, verbose=2,
-        )
-        flat = res.x
-        r, J = eval_all(flat)
-        best = (float(np.sqrt(((tw * r) ** 2).mean())), flat.copy(), r.copy())
-        print(f"scipy final wrmse={best[0]:.3e}")
-        for n, ri in zip(names, r):
-            print(f"    {n:<16} {ri:+.6e}")
-        args.iters = 0  # skip the hand-rolled LM loop
-
     def _checkpoint(best_flat):
         theta_c = unravel(jnp.asarray(best_flat))
         out_c = {
@@ -643,6 +615,43 @@ def main() -> int:
             }
         with open(args.out + ".ckpt", "w") as fh:
             json.dump(out_c, fh)
+
+    if args.scipy:
+        from scipy.optimize import least_squares
+
+        cache = {"best": (np.inf, None), "n": 0}
+
+        def f_res(x):
+            r_, J_ = eval_all(x)
+            cache["J"] = J_
+            wr = float(np.sqrt(((tw * r_) ** 2).mean()))
+            cache["n"] += 1
+            if wr < cache["best"][0]:
+                cache["best"] = (wr, x.copy())
+                _checkpoint(x)  # survive kills: best-so-far on disk
+            print(f"  [scipy eval {cache['n']}] wrmse={wr:.3e} "
+                  f"max|r|={np.abs(r_).max():.3e}", flush=True)
+            for n_, ri in zip(names, r_):
+                print(f"    {n_:<16} {ri:+.6e}")
+            return tw * r_
+
+        def f_jac(x):
+            if "J" in cache:
+                return tw[:, None] * cache.pop("J")
+            _, J_ = eval_all(x)
+            return tw[:, None] * J_
+
+        res = least_squares(
+            f_res, flat, jac=f_jac, method="trf", x_scale="jac",
+            tr_solver="exact", max_nfev=args.iters, verbose=2,
+        )
+        flat = res.x
+        r, J = eval_all(flat)
+        best = (float(np.sqrt(((tw * r) ** 2).mean())), flat.copy(), r.copy())
+        print(f"scipy final wrmse={best[0]:.3e}")
+        for n, ri in zip(names, r):
+            print(f"    {n:<16} {ri:+.6e}")
+        args.iters = 0  # skip the hand-rolled LM loop
 
     for it in range(args.iters):
         rmse_w = float(np.sqrt(((tw * r) ** 2).mean()))
