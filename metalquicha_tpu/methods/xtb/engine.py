@@ -129,8 +129,18 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
 # ---------------------------------------------------------------------------
 
 
-def coordination_numbers(coords, rcov, atom_mask, steepness, cn_type="exp"):
-    """Exponential counting function CN (GFN1/D3 style, k2 = 4/3)."""
+def coordination_numbers(coords, rcov, atom_mask, steepness, cn_type="exp",
+                         cutoff=25.0):
+    """Exponential counting function CN (GFN1/D3 style, k2 = 4/3).
+
+    The real-space `cutoff` (Bohr) matters for SIZE CONSISTENCY: the
+    exponential counting function tends to 1/(1+e^k) ~ 1.1e-7 per pair as
+    r -> inf, NOT to zero, so without a cutoff every far pair in a cluster
+    inflates the CN — a cluster-size-dependent accumulation (~6e-6 CN/atom
+    in a 20-water cluster) that breaks E(A...B) = E(A)+E(B) at the 1e-8
+    level and skews CN-coupled self-energies in large systems.  tblite
+    evaluates its ncoord counting functions under a real-space cutoff
+    (default 25 Bohr), which the reference inherits; we match it."""
     diff = coords[:, None, :] - coords[None, :, :]
     # clamp before sqrt: coincident pairs (GMBE caps) otherwise produce
     # inf * 0 = NaN in the backward pass
@@ -146,6 +156,7 @@ def coordination_numbers(coords, rcov, atom_mask, steepness, cn_type="exp"):
     pair_mask = atom_mask[:, None] * atom_mask[None, :]
     pair_mask = pair_mask * (1.0 - jnp.eye(coords.shape[0]))
     pair_mask = pair_mask * (r > 1e-5)  # skip coincident pairs (GMBE caps)
+    pair_mask = pair_mask * (r < cutoff)
     return (cf * pair_mask).sum(-1)
 
 
