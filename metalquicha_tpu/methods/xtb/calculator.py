@@ -70,6 +70,7 @@ class FragmentData(NamedTuple):
     glb: jnp.ndarray
     d3_ref_cn: jnp.ndarray
     d3_zidx: jnp.ndarray
+    d3_sqrtc6: jnp.ndarray
     d3_c6_pair: jnp.ndarray
     d3_r4r2: jnp.ndarray
     solv_rvdw: jnp.ndarray
@@ -137,6 +138,7 @@ def fragment_data_from_batch(
         glb=f(batch.glb),
         d3_ref_cn=f(np.stack([t["ref_cn"] for t in d3])),
         d3_zidx=f(np.stack([t["zidx"] for t in d3])),
+        d3_sqrtc6=f(np.stack([t["sqrtc6"] for t in d3])),
         d3_c6_pair=f(
             np.broadcast_to(
                 full_pair_table()[None],
@@ -169,6 +171,7 @@ def _mp_tables(frag: FragmentData, cn):
         "d3tab": {
             "ref_cn": frag.d3_ref_cn,
             "zidx": frag.d3_zidx,
+            "sqrtc6": frag.d3_sqrtc6,
             "pair_table": frag.d3_c6_pair,
             "r4r2": frag.d3_r4r2,
         },
@@ -279,6 +282,7 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         d3tab = {
             "ref_cn": frag.d3_ref_cn,
             "zidx": frag.d3_zidx,
+            "sqrtc6": frag.d3_sqrtc6,
             "pair_table": frag.d3_c6_pair,
             "r4r2": frag.d3_r4r2,
         }

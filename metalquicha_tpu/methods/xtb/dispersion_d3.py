@@ -98,13 +98,32 @@ R4R2 = {
     53: 5.53441907,
 }
 
+#: the CORE element set carries the dense reference PAIR table (fit-refined
+#: grids live there); extended elements interact via the geometric-mean
+#: factorization instead (see c6_coefficients), keeping the pair table at
+#: core size instead of growing quadratically with element coverage.
+D3_CORE = tuple(sorted(REF_CN))
+
+# Extended element coverage (Z = 21..86, ESTIMATED trend data) — diagonal
+# reference systems only; pair C6 for any pair involving an extended
+# element factorizes as sqrt(C6_ii) * sqrt(C6_jj).
+from .params_elements_ext import EXT_C6_REFS as _EXT_C6, EXT_R4R2 as _EXT_R4R2
+
+for _z, _refs in _EXT_C6.items():
+    if _z not in REF_CN:
+        REF_CN[_z] = [cn for cn, _ in _refs]
+        REF_C6_DIAG[_z] = [c6 for _, c6 in _refs]
+R4R2.update({_z: _v for _z, _v in _EXT_R4R2.items() if _z not in R4R2})
+del _z
+
 K1 = 16.0  # CN counting steepness
 K3 = 4.0   # gaussian weighting exponent
 
 MAX_REFS = 5
 
-#: fixed element index space for the pair table (all parameterized elements)
-D3_ELEMENTS = tuple(sorted(REF_CN))
+#: fixed element index space for the pair table (core elements only;
+#: extended elements use the sqrt-diagonal factorization with zidx = -1)
+D3_ELEMENTS = D3_CORE
 _Z_TO_IDX = {z: i for i, z in enumerate(D3_ELEMENTS)}
 
 #: fitted pair-table overrides: {(zlo, zhi): np.ndarray (n_lo, n_hi)}
@@ -168,21 +187,25 @@ def build_d3_tables(numbers: np.ndarray):
     """Host-side per-atom D3 data for a (padded) fragment.
 
     Returns dict of arrays: ref_cn (nat, R), zidx (nat,) index into
-    D3_ELEMENTS, r4r2 (nat,). Padded atoms (z=0) get zero tables and
+    D3_ELEMENTS (-1 for extended elements outside the core pair table),
+    sqrtc6 (nat, R) sqrt of the diagonal reference C6 (the geometric-mean
+    fallback factor), r4r2 (nat,). Padded atoms (z=0) get zero tables and
     zidx=0 (masked downstream by atom_mask and their huge ref_cn)."""
     nat = len(numbers)
     ref_cn = np.full((nat, MAX_REFS), 1.0e6)
     zidx = np.zeros(nat, dtype=np.int64)
+    sqrtc6 = np.zeros((nat, MAX_REFS))
     r4r2 = np.zeros(nat)
     for i, z in enumerate(numbers):
         z = int(z)
         if z == 0:
             continue
-        cn_pad, _c6_pad, _n = _element_ref_arrays(z)
+        cn_pad, c6_pad, _n = _element_ref_arrays(z)
         ref_cn[i] = cn_pad
-        zidx[i] = _Z_TO_IDX[z]
+        zidx[i] = _Z_TO_IDX.get(z, -1)
+        sqrtc6[i] = np.sqrt(np.maximum(c6_pad, 0.0))
         r4r2[i] = R4R2[z]
-    return {"ref_cn": ref_cn, "zidx": zidx, "r4r2": r4r2}
+    return {"ref_cn": ref_cn, "zidx": zidx, "sqrtc6": sqrtc6, "r4r2": r4r2}
 
 
 def ref_weights(cn, ref_cn):
@@ -199,15 +222,26 @@ def ref_weights(cn, ref_cn):
     return jnp.where(use_fb, onehot, w / jnp.where(wsum > 0, wsum, 1.0))
 
 
-def c6_coefficients(cn, ref_cn, zidx, pair_table):
+def c6_coefficients(cn, ref_cn, zidx, pair_table, sqrtc6=None):
     """CN-interpolated pairwise C6 (nat, nat) from the reference pair table.
 
-    Memory-light contraction: never materializes (nat, nat, R, R)."""
+    Memory-light contraction: never materializes (nat, nat, R, R).
+    Atoms with zidx = -1 (extended elements outside the core pair table)
+    use the geometric-mean factorization: their interpolated pair C6 is
+    (w_i . sqrtc6_i)(w_j . sqrtc6_j) — exactly the seed value the dense
+    table would carry for an unfitted pair."""
     w = ref_weights(cn, ref_cn)                       # (nat, R)
-    rows = pair_table[zidx]                           # (nat, NZ, R, R)
+    zsafe = jnp.maximum(zidx, 0)
+    rows = pair_table[zsafe]                          # (nat, NZ, R, R)
     v = jnp.einsum("ia,itab->itb", w, rows)           # (nat, NZ, R)
-    v_pair = v[:, zidx, :]                            # (nat, nat, R)
-    return jnp.einsum("ijb,jb->ij", v_pair, w)        # (nat, nat)
+    v_pair = v[:, zsafe, :]                           # (nat, nat, R)
+    c6 = jnp.einsum("ijb,jb->ij", v_pair, w)          # (nat, nat)
+    if sqrtc6 is None:
+        return c6
+    s = (w * sqrtc6).sum(-1)                          # (nat,)
+    core = (zidx >= 0)
+    both_core = core[:, None] & core[None, :]
+    return jnp.where(both_core, c6, s[:, None] * s[None, :])
 
 
 def d3_energy(
@@ -224,7 +258,8 @@ def d3_energy(
     r8 = r2**4
 
     c6 = c6_coefficients(
-        cn, d3tab["ref_cn"], d3tab["zidx"], d3tab["pair_table"]
+        cn, d3tab["ref_cn"], d3tab["zidx"], d3tab["pair_table"],
+        d3tab.get("sqrtc6"),
     )
     if c6_scale is not None:
         c6 = c6 * c6_scale

@@ -487,6 +487,29 @@ def get_element(z: int) -> ElementRecord:
         ) from exc
 
 
+# ---------------------------------------------------------------------------
+# Extended element coverage (Z = 21..86, ESTIMATED): merge the pure-data
+# rows from params_elements_ext so every element the reference supports
+# (tblite GFN1, Z <= 86) at least runs here.  Done BEFORE the fitted
+# overlay autoload below so overlays can refine these records too.
+# ---------------------------------------------------------------------------
+from . import params_elements_ext as _ext
+
+for _z, (_sh, _ng, _lv, _sl, _oc, _sp, _gm, _lg, _g3, _al, _zf, _en,
+         _xb) in _ext.EXT_ELEMENTS.items():
+    if _z not in ELEMENTS:
+        ELEMENTS[_z] = _rec(
+            shells=_sh, ngauss=_ng, levels=_lv, slater=_sl, refocc=_oc,
+            shpoly=_sp, gam=_gm, lgam=_lg, gam3=_g3, alpha=_al, zeff=_zf,
+            en=_en, xbond=_xb,
+        )
+for _z, _r in _ext.EXT_RCOV_A.items():
+    if COVALENT_RADII_A[_z] == 0.0:
+        COVALENT_RADII_A[_z] = _r
+        ATOMIC_RADII_A[_z] = _r
+del _z
+
+
 GLOBALS = GlobalParams()
 
 
