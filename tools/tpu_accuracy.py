@@ -1,18 +1,19 @@
 #!/usr/bin/env python3
-"""Quantify the TPU f32 production-path accuracy against CPU f64.
+"""Quantify the TPU f32 production-path accuracy gap (VERDICT r2 item 7).
 
-Runs the validation suite twice through validation/run_validation.py —
-once on CPU in float64 (the parity/validation configuration) and once on
-the TPU platform in float32 (the production configuration) — and writes
-TPU_ACCURACY.md + TPU_ACCURACY.json recording, per case, the deviation of
-each check from the reference expectation AND the f32-vs-f64 delta.
-
-SURVEY §7 hard-part (e): mixed precision. The f32 path keeps
-jax_default_matmul_precision=highest (bf16 passes stall the SCC,
-CLAUDE.md) — this artifact measures what remains.
+Runs the validation suite twice — CPU f64 (the parity path) and TPU f32
+(the production path) — and writes TPU_ACCURACY.json + TPU_ACCURACY.md
+recording, per case, the f32-TPU deviation from both the reference
+expected values and the f64-CPU results.
 
 Usage:
-  python tools/tpu_accuracy.py [--platform axon] [--skip-slow]
+    python tools/tpu_accuracy.py                  # run both + report
+    python tools/tpu_accuracy.py --cpu-json A.json --tpu-json B.json
+                                                  # just compare existing runs
+
+The two runs happen in SUBPROCESSES because jax platform/x64 flags are
+process-global (CLAUDE.md: the axon plugin ignores JAX_PLATFORMS=cpu
+overrides mid-process).
 """
 
 from __future__ import annotations
@@ -25,111 +26,105 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+VAL = os.path.join(REPO, "validation", "run_validation.py")
 
 
-def run_suite(platform: str, f32: bool, out: str, skip_slow: bool) -> dict:
-    cmd = [
-        sys.executable, os.path.join(REPO, "validation", "run_validation.py"),
-        "--platform", platform, "--json-out", out,
-    ]
+def _run(platform: str, f32: bool, out: str, skip_slow: bool) -> None:
+    cmd = [sys.executable, VAL, "--platform", platform, "--json-out", out]
     if f32:
         cmd.append("--f32")
     if skip_slow:
         cmd.append("--skip-slow")
     env = dict(os.environ)
-    subprocess.run(cmd, cwd=os.path.join(REPO, "validation"), env=env,
-                   check=False)
-    with open(out) as fh:
-        return json.load(fh)
+    subprocess.run(cmd, check=True, env=env, cwd=REPO)
+
+
+def _values(case: dict) -> dict:
+    """Flatten a case's checks to {observable_label: got_value}."""
+    return {
+        chk["label"]: float(chk["got"])
+        for chk in case.get("checks", [])
+        if isinstance(chk.get("got"), (int, float))
+    }
+
+
+def compare(cpu_json: str, tpu_json: str):
+    with open(cpu_json) as fh:
+        cpu = {c["name"]: c for c in json.load(fh)["cases"]}
+    with open(tpu_json) as fh:
+        tpu = {c["name"]: c for c in json.load(fh)["cases"]}
+
+    rows = []
+    for name, ctpu in tpu.items():
+        ccpu = cpu.get(name)
+        if ccpu is None:
+            continue
+        vc = _values(ccpu)
+        vt = _values(ctpu)
+        worst = 0.0
+        worst_obs = None
+        for obs, v64 in vc.items():
+            if obs in vt:
+                d = abs(vt[obs] - v64)
+                if d > worst:
+                    worst, worst_obs = d, obs
+        rows.append({
+            "case": name,
+            "f32_vs_f64": worst,
+            "worst_observable": worst_obs,
+            "cpu_status": ccpu.get("status"),
+            "tpu_status": ctpu.get("status"),
+            "cpu_vs_expected": ccpu.get("worst_delta"),
+            "tpu_vs_expected": ctpu.get("worst_delta"),
+        })
+    rows.sort(key=lambda r: -(r["f32_vs_f64"] or 0.0))
+    return rows
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--platform", default="axon",
-                    help="TPU jax platform name (axon on this host)")
+    ap.add_argument("--cpu-json", default=None)
+    ap.add_argument("--tpu-json", default=None)
     ap.add_argument("--skip-slow", action="store_true")
-    ap.add_argument("--cpu-json", default="/tmp/val_cpu_f64.json")
-    ap.add_argument("--tpu-json", default="/tmp/val_tpu_f32.json")
-    ap.add_argument("--reuse-cpu", action="store_true",
-                    help="reuse an existing --cpu-json instead of rerunning")
+    ap.add_argument("--out-prefix", default=os.path.join(REPO, "TPU_ACCURACY"))
     args = ap.parse_args()
 
-    if args.reuse_cpu and os.path.exists(args.cpu_json):
-        with open(args.cpu_json) as fh:
-            cpu = json.load(fh)
-    else:
-        cpu = run_suite("cpu", False, args.cpu_json, args.skip_slow)
-    tpu = run_suite(args.platform, True, args.tpu_json, args.skip_slow)
+    cpu_json = args.cpu_json or "/tmp/val_cpu_f64.json"
+    tpu_json = args.tpu_json or "/tmp/val_tpu_f32.json"
+    if args.cpu_json is None:
+        _run("cpu", False, cpu_json, args.skip_slow)
+    if args.tpu_json is None:
+        _run("axon", True, tpu_json, args.skip_slow)
 
-    cpu_cases = {c["name"]: c for c in cpu["cases"]}
-    rows = []
-    for c in tpu["cases"]:
-        base = cpu_cases.get(c["name"])
-        for chk in c["checks"]:
-            label = chk["label"]
-            ref_chk = None
-            if base:
-                ref_chk = next(
-                    (x for x in base["checks"] if x["label"] == label), None
-                )
-            rows.append(
-                {
-                    "case": c["name"],
-                    "check": label,
-                    "expected": chk["expected"],
-                    "tpu_f32": chk["got"],
-                    "cpu_f64": ref_chk["got"] if ref_chk else None,
-                    "tpu_vs_expected": abs(chk["got"] - chk["expected"]),
-                    "tpu_vs_f64": (
-                        abs(chk["got"] - ref_chk["got"]) if ref_chk else None
-                    ),
-                }
-            )
-
-    out_json = os.path.join(REPO, "TPU_ACCURACY.json")
-    with open(out_json, "w") as fh:
-        json.dump({"cpu": cpu, "tpu": tpu, "rows": rows}, fh, indent=1)
+    rows = compare(cpu_json, tpu_json)
+    with open(args.out_prefix + ".json", "w") as fh:
+        json.dump({"cases": rows}, fh, indent=1)
 
     lines = [
-        "# TPU f32 production accuracy",
+        "# TPU f32 production-path accuracy",
         "",
-        "Per validation check: the TPU float32 production path vs the CPU "
-        "float64 parity path vs the reference expectation. Generated by "
-        "`tools/tpu_accuracy.py`.",
+        "Per-validation-case deviation of the TPU float32 production path",
+        "from the CPU float64 parity path (worst observable per case).",
+        "f64 `linalg.solve` is unsupported on this TPU, so f32 (with",
+        "`jax_default_matmul_precision=highest`) IS the production",
+        "precision; this table is what a TPU user actually gets.",
         "",
-        f"- CPU f64: {cpu['passed']} passed / {cpu['failed']} failed "
-        f"(tol {cpu['tolerance']:g})",
-        f"- TPU f32 ({tpu['platform']}): {tpu['passed']} passed / "
-        f"{tpu['failed']} failed at the same tolerance",
-        "",
-        "| case | check | expected | TPU f32 | |f32-f64| | |f32-expected| |",
-        "|---|---|---|---|---|---|",
+        "| case | worst f32-vs-f64 | observable | f64 vs expected | "
+        "f32 vs expected |",
+        "|---|---|---|---|---|",
     ]
     for r in rows:
-        d64 = f"{r['tpu_vs_f64']:.2e}" if r["tpu_vs_f64"] is not None else "-"
+        c64 = r.get("cpu_vs_expected")
+        c32 = r.get("tpu_vs_expected")
         lines.append(
-            f"| {r['case']} | {r['check']} | {r['expected']:+.9f} | "
-            f"{r['tpu_f32']:+.9f} | {d64} | {r['tpu_vs_expected']:.2e} |"
+            f"| {r['case']} | {r['f32_vs_f64']:.3e} | "
+            f"{r['worst_observable']} | "
+            + (f"{c64:.2e}" if c64 is not None else "n/a") + " | "
+            + (f"{c32:.2e}" if c32 is not None else "n/a") + " |"
         )
-    worst = max((r for r in rows if r["tpu_vs_f64"] is not None),
-                key=lambda r: r["tpu_vs_f64"], default=None)
-    if worst:
-        lines += [
-            "",
-            f"Worst f32-vs-f64 deviation: {worst['tpu_vs_f64']:.2e} "
-            f"({worst['case']}:{worst['check']}).",
-            "",
-            "Mitigation in place: all SCC matmuls run at "
-            "`jax_default_matmul_precision=highest` (six-pass f32 on the "
-            "MXU); the final variational energy evaluation is a single "
-            "deterministic pass at the converged charges, so f32 error "
-            "enters through the converged-charge noise floor (~1e-6 e) "
-            "rather than accumulating over SCC iterations.",
-        ]
-    out_md = os.path.join(REPO, "TPU_ACCURACY.md")
-    with open(out_md, "w") as fh:
+    with open(args.out_prefix + ".md", "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(f"wrote {out_md} and {out_json}")
+    print(f"wrote {args.out_prefix}.json / .md ({len(rows)} cases)")
     return 0
 
 
