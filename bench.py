@@ -118,6 +118,45 @@ def main() -> int:
     eigh_small = eigh_tflops(512, 16)   # bench dimer AO dimension
     eigh_large = eigh_tflops(64, 256)   # large-fragment regime
 
+    # SP2 purification (ops/sp2.py): the in-loop density builder the f32
+    # path uses ABOVE the Pallas Jacobi ceiling (engine.PALLAS_EIGH_MAX_N).
+    # Head-to-head at the large-fragment shape: time to produce the density
+    # matrix from a batch of Fock matrices, eigh-route vs SP2-route. SP2 is
+    # 48 batched (N,N) matmuls -> pure MXU work; eigh is latency-bound.
+    def density_secs(nmat, n, route, iters=4):
+        from metalquicha_tpu.ops.sp2 import sp2_density
+
+        dt_ = np.float64 if f64 else np.float32
+        a = rng.normal(size=(nmat, n, n)).astype(dt_)
+        a = jnp.asarray(a + a.transpose(0, 2, 1))
+        nocc = jnp.full((nmat,), float(2 * (n // 4)), a.dtype)
+        nuhf = jnp.zeros((nmat,), a.dtype)
+        mask = jnp.ones((nmat, n), a.dtype)
+
+        if route == "eigh":
+            @jax.jit
+            def density(m):
+                w_, v_ = jnp.linalg.eigh(m)
+                occ = jnp.arange(n)[None, :] < (nocc[:, None] / 2.0)
+                f_ = jnp.where(occ, 2.0, 0.0).astype(m.dtype)
+                return jnp.einsum("bik,bk,bjk->bij", v_, f_, v_)
+        else:
+            @jax.jit
+            def density(m):
+                return sp2_density(m, nocc, nuhf, mask)
+
+        density(a).block_until_ready()
+        t0_ = time.perf_counter()
+        for i in range(iters):
+            density(a + 1e-6 * (i + 1)).block_until_ready()
+        return (time.perf_counter() - t0_) / iters
+
+    sp2_t = density_secs(64, 256, "sp2")
+    eigh_t = density_secs(64, 256, "eigh")
+    sp2_speedup = eigh_t / sp2_t
+    # effective TFLOP/s of the SP2 route (48 matmuls x 2N^3 + trace work)
+    sp2_tflops = 48 * 2.0 * 64 * 256**3 / sp2_t / 1e12
+
     # --- production-path metrics -----------------------------------------
     # (a) value_and_grad throughput at the PRODUCTION 32-iteration setting:
     # the quantity MBE gradient/Hessian workloads are made of
@@ -199,6 +238,8 @@ def main() -> int:
                 "mbe2_w20_total_ha": round(total_mbe, 6),
                 "eigh_tflops_b512_n16": round(eigh_small, 4),
                 "eigh_tflops_b64_n256": round(eigh_large, 4),
+                "sp2_density_speedup_b64_n256": round(sp2_speedup, 2),
+                "sp2_tflops_b64_n256": round(sp2_tflops, 4),
             }
         )
     )

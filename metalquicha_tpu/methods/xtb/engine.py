@@ -29,6 +29,12 @@ from ...constants import KB_HARTREE
 from .overlap import overlap_matrix
 from .batch import PAD_LEVEL
 
+#: largest AO dimension handled by the Pallas Jacobi in-loop eigensolver
+#: ((N, N, 128) x3 VMEM tiles; N=96 exceeds VMEM). Above it the f32 TPU
+#: path switches to SP2 purification (ops/sp2.py). Module-level so tests
+#: can lower it to exercise the SP2 path on small molecules.
+PALLAS_EIGH_MAX_N = 64
+
 
 class EngineSettings(NamedTuple):
     """Static engine knobs (hashable; part of the jit cache key)."""
@@ -67,9 +73,11 @@ class EngineSettings(NamedTuple):
     #: d3 container uses the classic single-exponential D3 CN regardless of
     #: the hamiltonian CN type, so these are INDEPENDENT knobs.
     cn_type_d3: str = "exp"
-    #: use the Pallas batched Jacobi eigensolver inside the SCC loop
-    #: (TPU, f32, small AO dims; ~3.4x faster than XLA's eigh there).
-    #: The final variational energy evaluation always uses jnp eigh.
+    #: use the fast in-loop SCC solvers on the TPU f32 path: the Pallas
+    #: batched Jacobi eigensolver for AO dims <= 64 (~3.4x faster than
+    #: XLA's eigh there) and SP2 density purification (ops/sp2.py, pure
+    #: MXU matmuls) for larger AO dims where the Jacobi kernel exceeds
+    #: VMEM. The final variational energy evaluation always uses jnp eigh.
     use_pallas_eigh: bool = False
     #: GFN2 mode: self-consistent atomic dipoles/quadrupoles (AES) and
     #: charge-scaled (D4-style) dispersion inside the SCC
@@ -145,7 +153,7 @@ def coordination_numbers(coords, rcov, atom_mask, steepness, cn_type="exp",
     # clamp before sqrt: coincident pairs (GMBE caps) otherwise produce
     # inf * 0 = NaN in the backward pass
     r = jnp.sqrt(
-        jnp.maximum((diff**2).sum(-1), 1e-12) + jnp.eye(coords.shape[0])
+        jnp.maximum((diff**2).sum(-1), 1e-12) + jnp.eye(coords.shape[0], dtype=coords.dtype)
     )
     r0 = (4.0 / 3.0) * (rcov[:, None] + rcov[None, :])
     cf = 1.0 / (1.0 + jnp.exp(-steepness * (r0 / r - 1.0)))
@@ -154,7 +162,7 @@ def coordination_numbers(coords, rcov, atom_mask, steepness, cn_type="exp",
         # steeper switch at a shifted radius sharpens the plateau
         cf = cf / (1.0 + jnp.exp(-2.0 * steepness * ((r0 + 2.0) / r - 1.0)))
     pair_mask = atom_mask[:, None] * atom_mask[None, :]
-    pair_mask = pair_mask * (1.0 - jnp.eye(coords.shape[0]))
+    pair_mask = pair_mask * (1.0 - jnp.eye(coords.shape[0], dtype=coords.dtype))
     pair_mask = pair_mask * (r > 1e-5)  # skip coincident pairs (GMBE caps)
     pair_mask = pair_mask * (r < cutoff)
     return (cf * pair_mask).sum(-1)
@@ -164,7 +172,7 @@ def pair_distances(coords):
     diff = coords[:, None, :] - coords[None, :, :]
     # clamped sqrt: keeps gradients finite at coincident pairs (GMBE caps)
     return jnp.sqrt(
-        jnp.maximum((diff**2).sum(-1), 1e-12) + jnp.eye(coords.shape[0])
+        jnp.maximum((diff**2).sum(-1), 1e-12) + jnp.eye(coords.shape[0], dtype=coords.dtype)
     )
 
 
@@ -175,7 +183,7 @@ def repulsion_energy(coords, zeff, alpha, atom_mask, kexp, rexp):
     the tblite kernels' r ~ 0 guard."""
     n = coords.shape[0]
     r = pair_distances(coords)
-    pair_mask = atom_mask[:, None] * atom_mask[None, :] * (1.0 - jnp.eye(n))
+    pair_mask = atom_mask[:, None] * atom_mask[None, :] * (1.0 - jnp.eye(n, dtype=coords.dtype))
     pair_mask = pair_mask * (r > 1e-5)
     r = jnp.maximum(r, 1e-5)  # masked pairs must stay finite (0*inf = NaN)
     zz = zeff[:, None] * zeff[None, :]
@@ -250,7 +258,7 @@ def h0_matrix(S, coords, batch, cn, settings: EngineSettings):
 
 def gamma_matrix(coords, batch, settings: EngineSettings):
     """Shell-resolved second-order Coulomb kernel (MNOK, harmonic avg)."""
-    r_at = pair_distances(coords) * (1.0 - jnp.eye(coords.shape[0]))
+    r_at = pair_distances(coords) * (1.0 - jnp.eye(coords.shape[0], dtype=coords.dtype))
     r_sh = r_at[batch.sh_atom[:, None], batch.sh_atom[None, :]]
     eta_i = batch.sh_eta[:, None]
     eta_j = batch.sh_eta[None, :]
@@ -306,7 +314,7 @@ def _aufbau_fill(eps, n_el, ao_mask):
     order = jnp.argsort(e)
     ranks = jnp.argsort(order)
     f = jnp.clip(n_el - ranks, 0.0, 1.0)
-    return f, jnp.zeros(())
+    return f, jnp.zeros((), f.dtype)
 
 
 def occupations(eps, nelec, nuhf, kt, ao_mask, fixed: bool):
@@ -376,7 +384,7 @@ def _general_eigh(F, S_chol):
 
 def _atom_charges(q_sh, batch):
     nat = batch.at_gam3.shape[0]
-    return jnp.zeros(nat).at[batch.sh_atom].add(q_sh * batch.sh_mask)
+    return jnp.zeros(nat, q_sh.dtype).at[batch.sh_atom].add(q_sh * batch.sh_mask)
 
 
 def _coulomb_potential(q_sh, gamma, batch, settings, gamma_at=None):
@@ -415,7 +423,7 @@ def _fock(H0, S, q_sh, gamma, batch, settings, gamma_at=None):
 def _shell_populations(P, S, batch):
     ps = (P * S).sum(axis=1)  # (PS)_mumu for symmetric S
     nsh = batch.sh_mask.shape[0]
-    return jnp.zeros(nsh).at[batch.ao_shell].add(ps * batch.ao_mask)
+    return jnp.zeros(nsh, ps.dtype).at[batch.ao_shell].add(ps * batch.ao_mask)
 
 
 # ---------------------------------------------------------------------------
@@ -634,40 +642,59 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
     plays the role of tblite's Broyden mixer — the converged point is
     mixer-independent; this just gets there in ~3x fewer diagonalizations.
     """
-    use_pallas = (
-        settings.use_pallas_eigh
-        and S.dtype == jnp.float32
-        and S.shape[-1] <= 64  # (N,N,128) x3 VMEM tiles; N=96 exceeds VMEM
-    )
-    if use_pallas:
-        # orthogonalize once via S^-1/2; Jacobi kernel inside the loop
-        from ...ops.jacobi_eigh import jacobi_eigh
-
+    fast_inloop = settings.use_pallas_eigh and S.dtype == jnp.float32
+    use_pallas = fast_inloop and S.shape[-1] <= PALLAS_EIGH_MAX_N
+    # Above the Jacobi kernel's VMEM ceiling, switch the in-loop solver to
+    # SP2 density purification (ops/sp2.py): ~48 batched (N,N) matmuls on
+    # the MXU replace the latency-bound XLA eigh. Valid inside the
+    # fixed-point loop because only the density/shell populations are
+    # needed; the final variational energy always re-solves with jnp eigh.
+    use_sp2 = fast_inloop and S.shape[-1] > PALLAS_EIGH_MAX_N
+    if use_pallas or use_sp2:
+        # orthogonalize once via S^-1/2
         s_eig, U = jnp.linalg.eigh(S)
         Xs = (U * jax.lax.rsqrt(jnp.maximum(s_eig, 1e-10))[None, :]) @ U.T
-
-        def solve_eigh(F, _L):
-            eps, Cp = jacobi_eigh(Xs @ F @ Xs)
-            return eps, Xs @ Cp
-
         L = S  # unused
+
+    if use_sp2:
+        from ...ops.sp2 import sp2_density
+
+        def make_density(F):
+            Po = sp2_density(
+                Xs @ F @ Xs, batch.nelec, batch.nuhf, batch.ao_mask
+            )
+            return Xs @ Po @ Xs
+
     else:
-        solve_eigh = _general_eigh
-        L = jnp.linalg.cholesky(S)
+        if use_pallas:
+            # Jacobi kernel inside the loop
+            from ...ops.jacobi_eigh import jacobi_eigh
+
+            def solve_eigh(F, _L):
+                eps, Cp = jacobi_eigh(Xs @ F @ Xs)
+                return eps, Xs @ Cp
+
+        else:
+            solve_eigh = _general_eigh
+            L = jnp.linalg.cholesky(S)
+
+        def make_density(F):
+            eps, C = solve_eigh(F, L)
+            f, _ = occupations(
+                eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,
+                settings.fixed_occupations,
+            )
+            return (C * f[None, :]) @ C.T
+
     nsh = batch.sh_mask.shape[0]
-    q0 = jnp.zeros(nsh)
     m = settings.broyden_memory
     beta = settings.mixer_damping
     dtype = S.dtype
+    q0 = jnp.zeros(nsh, dtype)  # carry follows S even under x64 (CPU tests)
 
     def fixed_point(q):
         F = _fock(H0, S, q, gamma, batch, settings, gamma_at)
-        eps, C = solve_eigh(F, L)
-        f, _ = occupations(
-            eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,
-            settings.fixed_occupations,
-        )
-        P = (C * f[None, :]) @ C.T
+        P = make_density(F)
         n_sh = _shell_populations(P, S, batch)
         return (batch.sh_refocc - n_sh) * batch.sh_mask
 

@@ -72,9 +72,9 @@ def aes_energy(coords, q_at, mu, theta, at_mrad, at_dkernel, at_qkernel,
     """
     nat = coords.shape[0]
     dvec = coords[:, None, :] - coords[None, :, :]   # R_A - R_B
-    r2 = (dvec**2).sum(-1) + jnp.eye(nat)
+    r2 = (dvec**2).sum(-1) + jnp.eye(nat, dtype=dvec.dtype)
     r = jnp.sqrt(r2)
-    pair = atom_mask[:, None] * atom_mask[None, :] * (1.0 - jnp.eye(nat))
+    pair = atom_mask[:, None] * atom_mask[None, :] * (1.0 - jnp.eye(nat, dtype=dvec.dtype))
     pair = pair * (r > 1e-5)
     rs = jnp.maximum(r, 1e-5)
 
