@@ -106,11 +106,16 @@ def main() -> int:
         )
         a = a + jnp.swapaxes(a, -1, -2)
         eigh = jax.jit(jnp.linalg.eigh)
-        w, v = eigh(a)
+        # pre-staged distinct inputs: eager adds in the timed loop would
+        # each cost a tunnel round-trip (see density_secs)
+        staged = [a * (1.0 + 1e-4 * (i + 1)) for i in range(iters + 1)]
+        for x in staged:
+            x.block_until_ready()
+        w, v = eigh(staged[0])
         v.block_until_ready()
         t0 = time.perf_counter()
-        for i in range(iters):
-            w, v = eigh(a + 1e-6 * (i + 1))
+        for x in staged[1:]:
+            w, v = eigh(x)
         v.block_until_ready()
         dt_e = time.perf_counter() - t0
         return 9.0 * nmat * n**3 * iters / dt_e / 1e12
@@ -123,7 +128,7 @@ def main() -> int:
     # Head-to-head at the large-fragment shape: time to produce the density
     # matrix from a batch of Fock matrices, eigh-route vs SP2-route. SP2 is
     # 48 batched (N,N) matmuls -> pure MXU work; eigh is latency-bound.
-    def density_secs(nmat, n, route, iters=4):
+    def density_secs(nmat, n, route, iters=10):
         from metalquicha_tpu.ops.sp2 import sp2_density
 
         dt_ = np.float64 if f64 else np.float32
@@ -145,10 +150,19 @@ def main() -> int:
             def density(m):
                 return sp2_density(m, nocc, nuhf, mask)
 
-        density(a).block_until_ready()
+        # pre-stage DISTINCT device inputs (the axon backend caches
+        # identical-buffer executions) so the timed loop does no eager
+        # op-by-op work — each eager dispatch costs a tunnel round-trip
+        # (~25 ms) that would swamp a ~5 ms kernel
+        staged = [a * (1.0 + 1e-4 * (i + 1)) for i in range(iters + 3)]
+        for x in staged:
+            x.block_until_ready()
+        for x in staged[:3]:
+            density(x).block_until_ready()
         t0_ = time.perf_counter()
-        for i in range(iters):
-            density(a + 1e-6 * (i + 1)).block_until_ready()
+        for x in staged[3:]:
+            out = density(x)
+        out.block_until_ready()
         return (time.perf_counter() - t0_) / iters
 
     sp2_t = density_secs(64, 256, "sp2")
