@@ -266,7 +266,13 @@ def d3_energy(
     qq = 3.0 * d3tab["r4r2"][:, None] * d3tab["r4r2"][None, :]
     c8 = c6 * qq
 
-    r0 = jnp.sqrt(jnp.where(c6 > 0, qq, 1.0))
+    # guard on qq, not c6: padded atoms can carry a positive table C6
+    # (their zidx aliases a real element) but always have r4r2 == 0, and
+    # sqrt(0) under the c6 guard makes the BACKWARD pass inf * mask = NaN —
+    # which silently zeroed every r4r2 Jacobian entry in the parameter fit.
+    # qq > 0 iff both atoms are real (real elements all have r4r2 > 0), and
+    # such pairs are fully masked below, so the 1.0 substitute is inert.
+    r0 = jnp.sqrt(jnp.where(qq > 0, qq, 1.0))
     damp = a1 * r0 + a2
     e = s6 * c6 / (r6 + damp**6) + s8 * c8 / (r8 + damp**8)
 

@@ -21,8 +21,8 @@ eigensolver latency.
 Validity: SP2 yields the T=0 projector (integer occupations). The
 production SCC runs Fermi smearing at 300 K, where kT ~ 9.5e-4 Ha; for
 closed-shell fragments with a HOMO-LUMO gap above ~1 eV the smeared and
-T=0 fixed points agree to <1e-10 Ha (the CLI prints this exact fact on
-every run, mirroring the reference's knowledge-level output). The final
+T=0 fixed points agree to <1e-10 Ha (one of the CLI's rotating
+knowledge-level exit facts, logging_._KNOWLEDGE). The final
 variational energy evaluation ALWAYS goes through the true eigh —
 SP2 only accelerates the charge self-consistency iterations, exactly
 like the Pallas Jacobi path it complements (engine.py gates: Jacobi for
