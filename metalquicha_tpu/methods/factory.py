@@ -23,6 +23,10 @@ def create_calculator(drv: DriverConfig):
         settings = settings_from_params(
             variant,
             max_scf_iter=max(32, min(drv.method.scf.maxiter, 256)),
+            # early-exit at a tenth of the user tolerance: well inside the
+            # driver's convergence gate (10x tol) yet skipping the dead
+            # tail of a 256-iteration budget once fragments are converged
+            scf_tol=0.1 * drv.method.scf.tolerance,
             electronic_temp=drv.method.xtb.electronic_temp,
         )
         xtb = drv.method.xtb

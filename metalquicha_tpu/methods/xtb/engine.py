@@ -40,6 +40,15 @@ class EngineSettings(NamedTuple):
     """Static engine knobs (hashable; part of the jit cache key)."""
 
     max_scf_iter: int = 32
+    #: SCC early-exit residual tolerance. The SCC loops are while_loops
+    #: bounded by max_scf_iter that ALSO stop once the charge residual
+    #: drops below this value — the reference's tblite behavior (iterate
+    #: to tolerance, not to the iteration budget). 0.0 = never exit early
+    #: (fixed-iteration semantics; what fits/benches use for strict
+    #: run-to-run comparability). Safe to set because the loops are never
+    #: differentiated (q* is stop-gradient'ed into the variational
+    #: functional).
+    scf_tol: float = 0.0
     electronic_temp: float = 300.0  # Kelvin
     mixer_damping: float = 0.4
     broyden_memory: int = 12
@@ -535,8 +544,8 @@ def scf_solve_multipole(H0, S, coords, gamma, batch, kt,
         q, mu, th = _aes_moments_of_P(P, S, batch, mp)
         return _aes_pack(q, mu, th)
 
-    def step(carry, it):
-        z, _, hist_x, hist_f = carry
+    def body(carry):
+        z, _, hist_x, hist_f, it = carry
         z_out = fixed_point(z)
         f_res = z_out - z
         resid = jnp.abs(f_res).max()
@@ -562,14 +571,18 @@ def scf_solve_multipole(H0, S, coords, gamma, batch, kt,
             | (jnp.abs(c).max() > c_lim)
         )
         z_next = jnp.where(bad, z_damped, z_and)
-        return (z_next, resid, hist_x, hist_f), None
+        return (z_next, resid, hist_x, hist_f, it + 1)
+
+    def cond(carry):
+        _z, resid, _hx, _hf, it = carry
+        return (it < settings.max_scf_iter) & (resid > settings.scf_tol)
 
     z0 = jnp.zeros(nz, dtype=dtype)
     hist_x = jnp.zeros((m, nz), dtype=dtype)
     hist_f = jnp.zeros((m, nz), dtype=dtype)
-    (z, resid, _, _), _ = jax.lax.scan(
-        step, (z0, jnp.asarray(1.0, dtype), hist_x, hist_f),
-        jnp.arange(settings.max_scf_iter),
+    z, resid, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (z0, jnp.asarray(1.0, dtype), hist_x, hist_f, jnp.asarray(0)),
     )
     return z, resid
 
@@ -635,7 +648,11 @@ def electronic_energy_multipole(coords, z_star, batch, kt,
 
 
 def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
-    """Fixed-iteration SCC loop (not differentiated) with Anderson mixing.
+    """Bounded SCC loop (not differentiated) with Anderson mixing.
+
+    Runs until the charge residual drops below settings.scf_tol or
+    max_scf_iter is reached (tblite parity: iterate to tolerance, not to
+    the budget — mqc_method_xtb.f90 delegates the same policy to tblite).
 
     Returns converged shell charges q* and the final charge residual.
     Anderson acceleration (window m, Tikhonov-regularized normal equations)
@@ -698,8 +715,8 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
         n_sh = _shell_populations(P, S, batch)
         return (batch.sh_refocc - n_sh) * batch.sh_mask
 
-    def step(carry, it):
-        q, _, hist_x, hist_f = carry
+    def body(carry):
+        q, _, hist_x, hist_f, it = carry
         q_out = fixed_point(q)
         f_res = q_out - q
         resid = jnp.abs(f_res).max()
@@ -732,14 +749,20 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
             | (jnp.abs(c).max() > c_lim)
         )
         q_next = jnp.where(bad, q_damped, q_and)
-        return (q_next, resid, hist_x, hist_f), None
+        return (q_next, resid, hist_x, hist_f, it + 1)
+
+    def cond(carry):
+        # bounded by the iteration budget AND the early-exit tolerance
+        # (scf_tol=0.0 reproduces fixed-iteration semantics). Never
+        # differentiated, so while_loop is safe.
+        _q, resid, _hx, _hf, it = carry
+        return (it < settings.max_scf_iter) & (resid > settings.scf_tol)
 
     hist_x = jnp.zeros((m, nsh), dtype=dtype)
     hist_f = jnp.zeros((m, nsh), dtype=dtype)
-    (q, resid, _, _), _ = jax.lax.scan(
-        step,
-        (q0, jnp.asarray(1.0, dtype), hist_x, hist_f),
-        jnp.arange(settings.max_scf_iter),
+    q, resid, _, _, _ = jax.lax.while_loop(
+        cond, body,
+        (q0, jnp.asarray(1.0, dtype), hist_x, hist_f, jnp.asarray(0)),
     )
     return q, resid
 
