@@ -176,6 +176,18 @@ def theta_from_overlay(path: str, variant: str = "gfn1") -> dict:
             theta["elements"][z][k] = jnp.asarray(v, dtype=jnp.float64)
     if "d3_pairs" in data:
         theta["d3_pairs"] = jnp.asarray(data["d3_pairs"], dtype=jnp.float64)
+    if "globals" in data and "globals" in theta:
+        # WITHOUT this, fitted global constants (kss/ksp/.../disp_*) were
+        # silently replaced by the params-module values whenever a fit was
+        # seeded from another fit's output — a lossy warm start that cost
+        # an order of magnitude in the seed residuals.
+        from .batch import GLB_FIELDS
+
+        vec = np.array(theta["globals"], dtype=np.float64)
+        for k, name in enumerate(GLB_FIELDS):
+            if name in data["globals"]:
+                vec[k] = float(data["globals"][name])
+        theta["globals"] = jnp.asarray(vec)
     return theta
 
 

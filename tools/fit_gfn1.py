@@ -621,6 +621,12 @@ def main() -> int:
 
         cache = {"best": (np.inf, None), "n": 0}
 
+        # prior anchoring rows: without them, parameters with no signal in
+        # any target (e.g. D3 reference-grid entries at unused CN refs)
+        # give x_scale='jac' near-zero column norms -> unbounded scaled
+        # steps, NaN-cliff trial points and trust-region collapse. The
+        # rows pin every column at >= pw and anchor the null space at the
+        # seed, exactly like the hand-rolled LM loop's (Jw + prior) system.
         def f_res(x):
             r_, J_ = eval_all(x)
             cache["J"] = J_
@@ -633,13 +639,14 @@ def main() -> int:
                   f"max|r|={np.abs(r_).max():.3e}", flush=True)
             for n_, ri in zip(names, r_):
                 print(f"    {n_:<16} {ri:+.6e}")
-            return tw * r_
+            return np.concatenate([tw * r_, pw * (x - prior)])
 
         def f_jac(x):
             if "J" in cache:
-                return tw[:, None] * cache.pop("J")
-            _, J_ = eval_all(x)
-            return tw[:, None] * J_
+                J_ = cache.pop("J")
+            else:
+                _, J_ = eval_all(x)
+            return np.vstack([tw[:, None] * J_, np.diag(pw)])
 
         res = least_squares(
             f_res, flat, jac=f_jac, method="trf", x_scale="jac",
