@@ -132,3 +132,40 @@ def test_solvation_overlay_survives_import_order():
     )
     assert out.returncode == 0, out.stderr
     assert "overlay live" in out.stdout
+
+
+def test_theta_from_overlay_preserves_globals(tmp_path):
+    """Warm-starting a fit from another fit's JSON must keep its globals.
+
+    Regression: theta_from_overlay read elements + d3_pairs but not the
+    globals block, silently resetting fitted kss/ksp/.../disp_* to the
+    installed-module values (measured as a 3.95e-4 -> 2.7e-3 wrmse seed
+    regression in the round-3 refit)."""
+    import jax.numpy as jnp
+
+    from metalquicha_tpu.methods.xtb.batch import GLB_FIELDS
+    from metalquicha_tpu.methods.xtb.param_fit import (
+        theta_from_overlay,
+        theta_init,
+    )
+
+    theta = theta_init("gfn1")
+    assert "globals" in theta, "globals are traced fit parameters"
+    gvec = np.asarray(theta["globals"], dtype=float).copy()
+    gvec += 0.017  # move EVERY global off the module value
+
+    out = {
+        "elements": {
+            str(z): {k: np.asarray(v).tolist() for k, v in el.items()}
+            for z, el in theta["elements"].items()
+        },
+        "globals": {n: float(gvec[k]) for k, n in enumerate(GLB_FIELDS)},
+        "d3_pairs": np.asarray(theta["d3_pairs"]).tolist(),
+    }
+    path = tmp_path / "fit_out.json"
+    path.write_text(json.dumps(out))
+
+    back = theta_from_overlay(str(path), "gfn1")
+    np.testing.assert_allclose(
+        np.asarray(back["globals"]), gvec, rtol=0, atol=1e-14
+    )
