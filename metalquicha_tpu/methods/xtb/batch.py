@@ -48,6 +48,14 @@ def global_vector(variant: str = "gfn1") -> np.ndarray:
     return np.array([getattr(g, f) for f in GLB_FIELDS], dtype=np.float64)
 
 
+def _kpair_module(variant: str):
+    if variant == "gfn2":
+        from . import params_gfn2 as params
+    else:
+        params = params_gfn1
+    return params
+
+
 @dataclass
 class ElementBasis:
     """Precomputed per-element basis/parameter data (host-side)."""
@@ -182,6 +190,7 @@ class XtbBatch:
     at_e0: np.ndarray
     at_xbond: np.ndarray
     at_aes: np.ndarray       # (B, nat, 5) mrad/dkernel/qkernel/d4ga/d4zref
+    at_kpair: np.ndarray     # (B, nat, nat) element-pair H0 scaling K_AB
     glb: np.ndarray          # (B, len(GLB_FIELDS)) global constants
 
     @property
@@ -272,6 +281,7 @@ def build_batch(
         at_aes=np.tile(
             np.array([3.0, 1.0, 0.1, 3.0, 4.0]), (B, nat, 1)
         ),
+        at_kpair=np.ones((B, nat, nat)),
         glb=np.tile(global_vector(variant), (B, 1)),
     )
 
@@ -285,6 +295,12 @@ def build_batch(
             out.coords[b, pad_i] = (pad_i + 1) * PAD_COORD_STEP
         out.charge[b] = charge
         out.nuhf[b] = mult - 1
+        _kp = _kpair_module(variant)
+        if _kp.KPAIR:  # all-1.0 default already allocated; fill only if set
+            kv = _kp.kpair_value
+            for ia, zi in enumerate(numbers):
+                for ja, zj in enumerate(numbers):
+                    out.at_kpair[b, ia, ja] = kv(zi, zj)
         isx = iao = 0
         nelec = 0.0
         for ia, z in enumerate(numbers):

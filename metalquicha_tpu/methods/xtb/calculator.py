@@ -67,6 +67,7 @@ class FragmentData(NamedTuple):
     at_e0: jnp.ndarray
     at_xbond: jnp.ndarray
     at_aes: jnp.ndarray
+    at_kpair: jnp.ndarray
     glb: jnp.ndarray
     d3_ref_cn: jnp.ndarray
     d3_zidx: jnp.ndarray
@@ -135,6 +136,7 @@ def fragment_data_from_batch(
         at_e0=f(batch.at_e0),
         at_xbond=f(batch.at_xbond),
         at_aes=f(batch.at_aes),
+        at_kpair=f(batch.at_kpair),
         glb=f(batch.glb),
         d3_ref_cn=f(np.stack([t["ref_cn"] for t in d3])),
         d3_zidx=f(np.stack([t["zidx"] for t in d3])),

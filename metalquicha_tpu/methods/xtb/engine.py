@@ -252,7 +252,9 @@ def h0_matrix(S, coords, batch, cn, settings: EngineSettings):
     pi_fac = (1.0 + ao_poly[:, None] * rr) * (1.0 + ao_poly[None, :] * rr)
 
     havg = 0.5 * (ao_level[:, None] + ao_level[None, :])
-    H = K * havg * S * en_fac * pi_fac
+    # element-pair scaling K_AB (tblite gfn1 kpair analog; 1.0 by default)
+    kp_ao = batch.at_kpair[batch.ao_atom[:, None], batch.ao_atom[None, :]]
+    H = K * kp_ao * havg * S * en_fac * pi_fac
 
     same_atom = batch.ao_atom[:, None] == batch.ao_atom[None, :]
     H = jnp.where(same_atom, 0.0, H)

@@ -88,6 +88,16 @@ def theta_init(variant: str = "gfn1") -> dict:
     theta["d3_pairs"] = jnp.asarray(
         full[np.ix_(gidx, gidx)], dtype=jnp.float64
     )
+    # element-pair H0 scaling K_AB over the fitted elements (tblite gfn1
+    # kpair analog; identity by default — the H0 pair-scale freedom the
+    # published form has and a pair-free parameterization lacks)
+    nz = len(FITTED_Z)
+    kp = np.ones((nz, nz))
+    if hasattr(params, "kpair_value"):
+        for i, zi in enumerate(FITTED_Z):
+            for j, zj in enumerate(FITTED_Z):
+                kp[i, j] = params.kpair_value(zi, zj)
+    theta["kpair"] = jnp.asarray(kp)
     # global constants (kss..kcn_exp) are traced through FragmentData.glb
     from .batch import global_vector
 
@@ -176,6 +186,15 @@ def theta_from_overlay(path: str, variant: str = "gfn1") -> dict:
             theta["elements"][z][k] = jnp.asarray(v, dtype=jnp.float64)
     if "d3_pairs" in data:
         theta["d3_pairs"] = jnp.asarray(data["d3_pairs"], dtype=jnp.float64)
+    if "kpair" in data and "kpair" in theta:
+        zidx = {z: i for i, z in enumerate(FITTED_Z)}
+        kp = np.asarray(theta["kpair"], dtype=np.float64).copy()
+        for key_str, val in data["kpair"].items():
+            zi, zj = (int(t) for t in key_str.split("-"))
+            if zi in zidx and zj in zidx:
+                kp[zidx[zi], zidx[zj]] = float(val)
+                kp[zidx[zj], zidx[zi]] = float(val)
+        theta["kpair"] = jnp.asarray(kp)
     if "globals" in data and "globals" in theta:
         # WITHOUT this, fitted global constants (kss/ksp/.../disp_*) were
         # silently replaced by the params-module values whenever a fit was
@@ -397,6 +416,14 @@ class FragmentSpec:
         at_rcov = jnp.where(at_mask > 0.5, tabs["rcov"][self.at_row], 0.0)
         d3_r4r2 = jnp.where(at_mask > 0.5, tabs["r4r2"][self.at_row], 0.0)
 
+        if "kpair" in theta:
+            kth = 0.5 * (theta["kpair"] + theta["kpair"].T)
+            kp_at = kth[self.at_row[:, None], self.at_row[None, :]]
+            pair_real = (at_mask[:, None] > 0.5) & (at_mask[None, :] > 0.5)
+            at_kpair = jnp.where(pair_real, kp_at, 1.0)
+        else:
+            at_kpair = self.base.at_kpair
+
         # D3 pair C6 table: global geometric-mean table with the fitted
         # element block substituted (symmetrized in the fit parameters)
         from .dispersion_d3 import _Z_TO_IDX, full_pair_table
@@ -430,5 +457,6 @@ class FragmentSpec:
             at_aes=at_aes,
             at_rad=at_rad,
             at_rcov=at_rcov,
+            at_kpair=at_kpair,
             d3_r4r2=d3_r4r2,
         )

@@ -512,6 +512,16 @@ del _z
 
 GLOBALS = GlobalParams()
 
+#: element-pair H0 scaling K_AB (tblite's gfn1 hamiltonian kpair analog —
+#: the GFN1 paper scales specific pairs, e.g. H-H by 0.96). Keys are
+#: (zmin, zmax); every absent pair is 1.0. Values are reconstructed by the
+#: fit (installed via the "kpair" overlay block).
+KPAIR: dict = {}
+
+
+def kpair_value(zi: int, zj: int) -> float:
+    return KPAIR.get((min(int(zi), int(zj)), max(int(zi), int(zj))), 1.0)
+
 
 def load_overlay(path: str) -> None:
     """Overlay parameter values from a JSON file (fitted tables).
@@ -555,6 +565,9 @@ def load_overlay(path: str) -> None:
         from . import dispersion_d3
 
         dispersion_d3.set_pair_table_overlay(data["d3_c6_pairs"])
+    for key_str, val in data.get("kpair", {}).items():
+        zi, zj = (int(t) for t in key_str.split("-"))
+        KPAIR[(min(zi, zj), max(zi, zj))] = float(val)
     # invalidate caches without triggering circular imports at module load
     import sys as _sys
 

@@ -71,6 +71,14 @@ def get_element(z: int) -> ElementRecord:
         ) from exc
 
 
+#: element-pair H0 scaling (separate table from GFN1 — see params_gfn1.KPAIR)
+KPAIR: dict = {}
+
+
+def kpair_value(zi: int, zj: int) -> float:
+    return KPAIR.get((min(int(zi), int(zj)), max(int(zi), int(zj))), 1.0)
+
+
 def load_overlay(path: str) -> None:
     """Overlay parameter values from a JSON file (fitted tables).
 
@@ -83,6 +91,9 @@ def load_overlay(path: str) -> None:
         data = json.load(fh)
     for key, val in data.get("globals", {}).items():
         setattr(GLOBALS, key, val)
+    for key_str, val in data.get("kpair", {}).items():
+        zi, zj = (int(t) for t in key_str.split("-"))
+        KPAIR[(min(zi, zj), max(zi, zj))] = float(val)
     for z_str, fields in data.get("elements", {}).items():
         z = int(z_str)
         rec = ELEMENTS[z]

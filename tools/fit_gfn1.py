@@ -155,6 +155,7 @@ PRIOR_WEIGHTS = {
     "rad": 1e-4,
     "rcov": 3e-3,
     "d3_pairs": 1e-5,
+    "kpair": 1e-4,
     "globals": 3e-3,
 }
 
@@ -172,6 +173,8 @@ def prior_weight_vector(theta) -> np.ndarray:
         w["d3_pairs"] = jnp.full_like(
             theta["d3_pairs"], PRIOR_WEIGHTS["d3_pairs"]
         )
+    if "kpair" in theta:
+        w["kpair"] = jnp.full_like(theta["kpair"], PRIOR_WEIGHTS["kpair"])
     if "globals" in theta:
         w["globals"] = jnp.full_like(
             theta["globals"], PRIOR_WEIGHTS["globals"]
@@ -613,6 +616,17 @@ def main() -> int:
                 for j, zj in enumerate(FITTED_Z)
                 if zi <= zj
             }
+        if "kpair" in theta_c:
+            from metalquicha_tpu.methods.xtb.param_fit import FITTED_Z
+
+            kpc = np.asarray(theta_c["kpair"])
+            kpc = 0.5 * (kpc + kpc.T)
+            out_c["kpair"] = {
+                f"{zi}-{zj}": float(kpc[i, j])
+                for i, zi in enumerate(FITTED_Z)
+                for j, zj in enumerate(FITTED_Z)
+                if zi <= zj
+            }
         with open(args.out + ".ckpt", "w") as fh:
             json.dump(out_c, fh)
 
@@ -729,6 +743,17 @@ def main() -> int:
         out["d3_c6_pairs"] = {            # production overlay form
             f"{zi}-{zj}": pairs[i, j, : len(REF_CN[zi]), : len(REF_CN[zj])]
             .tolist()
+            for i, zi in enumerate(FITTED_Z)
+            for j, zj in enumerate(FITTED_Z)
+            if zi <= zj
+        }
+    if "kpair" in theta:
+        from metalquicha_tpu.methods.xtb.param_fit import FITTED_Z
+
+        kpf = np.asarray(theta["kpair"])
+        kpf = 0.5 * (kpf + kpf.T)
+        out["kpair"] = {
+            f"{zi}-{zj}": float(kpf[i, j])
             for i, zi in enumerate(FITTED_Z)
             for j, zj in enumerate(FITTED_Z)
             if zi <= zj
