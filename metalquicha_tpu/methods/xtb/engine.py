@@ -383,14 +383,32 @@ def _eigh_safe_bwd(res, cot):
 eigh_safe.defvjp(_eigh_safe_fwd, _eigh_safe_bwd)
 
 
-def _general_eigh(F, S_chol):
-    """Generalized eigenproblem via Cholesky factor of S (AD-friendly)."""
-    L = S_chol
-    Linv_F = jax.scipy.linalg.solve_triangular(L, F, lower=True)
-    Ft = jax.scipy.linalg.solve_triangular(L, Linv_F.T, lower=True).T
-    eps, Cp = eigh_safe(Ft)
-    C = jax.scipy.linalg.solve_triangular(L.T, Cp, lower=False)
-    return eps, C
+def _ortho_factors(S):
+    """Canonical orthogonalizer with linear-dependence removal.
+
+    Near-duplicate AOs (coincident GMBE caps) make S near-singular; the
+    previous Cholesky route amplified eigh noise there into SCC
+    bistability — one decane 2-cap intersection term oscillated at
+    residual 0.43 and converged to DIFFERENT fixed points in different
+    batch contexts, shifting the assembled GMBE total by 7e-4. Canonical
+    orthogonalization X = U s^-1/2 U^T with combos below 1e-7 projected
+    out (tblite's lindep handling) is deterministic; the removed
+    directions are pinned at +PAD_LEVEL in the transformed Fock so they
+    are never occupied (same trick as padded AOs)."""
+    s, U = eigh_safe(S)
+    keep = (s > 1e-7).astype(S.dtype)
+    w = jnp.where(s > 1e-7, jax.lax.rsqrt(jnp.maximum(s, 1e-7)), 0.0)
+    Xs = (U * w[None, :]) @ U.T
+    n = S.shape[-1]
+    proj_out = jnp.eye(n, dtype=S.dtype) - (U * keep[None, :]) @ U.T
+    return Xs, proj_out
+
+
+def _general_eigh(F, ortho):
+    """Generalized eigenproblem via canonical orthogonalization factors."""
+    Xs, proj_out = ortho
+    eps, Cp = eigh_safe(Xs @ F @ Xs + PAD_LEVEL * proj_out)
+    return eps, Xs @ Cp
 
 
 def _atom_charges(q_sh, batch):
@@ -526,7 +544,7 @@ def _aes_moments_of_P(P, S, batch, mp):
 def scf_solve_multipole(H0, S, coords, gamma, batch, kt,
                         settings: EngineSettings, gamma_at, mp):
     """Anderson-mixed SCC over the extended moment state (GFN2/AES)."""
-    L = jnp.linalg.cholesky(S)
+    L = _ortho_factors(S)
     nsh = batch.sh_mask.shape[0]
     nat = batch.atom_mask.shape[0]
     nz = nsh + 9 * nat
@@ -621,7 +639,7 @@ def electronic_energy_multipole(coords, z_star, batch, kt,
     F, (vq, vmu, vth) = _aes_fock(
         H0, S, z_star, coords, gamma, batch, settings, gamma_at, mp
     )
-    L = jnp.linalg.cholesky(S)
+    L = _ortho_factors(S)
     eps, C = _general_eigh(F, L)
     f, entropy = occupations(
         eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,
@@ -695,7 +713,7 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
 
         else:
             solve_eigh = _general_eigh
-            L = jnp.linalg.cholesky(S)
+            L = _ortho_factors(S)
 
         def make_density(F):
             eps, C = solve_eigh(F, L)
@@ -779,7 +797,7 @@ def scf_refine(H0, S, gamma, batch, kt, settings: EngineSettings, q0,
     solver tolerance. Used for second-derivative quantities (e.g. parameter
     Jacobians of gradient norms) where the stationarity trick is not enough.
     """
-    L = jnp.linalg.cholesky(S)
+    L = _ortho_factors(S)
 
     def step(q, _):
         F = _fock(H0, S, q, gamma, batch, settings, gamma_at)
@@ -819,7 +837,7 @@ def electronic_energy(
     gamma = gamma_matrix(coords, batch, settings)
 
     F = _fock(H0, S, q_star, gamma, batch, settings, gamma_at)
-    L = jnp.linalg.cholesky(S)
+    L = _ortho_factors(S)
     eps, C = _general_eigh(F, L)
     f, entropy = occupations(
         eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,

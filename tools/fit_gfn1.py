@@ -86,15 +86,21 @@ GFN2_GRADNORM_TARGETS = {
 #: residual weights (down-weight targets with known semantics uncertainty)
 TARGET_WEIGHTS = {
     "gmbe_decane": 0.2,
-    # upweight near-tolerance single-molecule anchors; the conflicted
-    # unfrag-vs-fragmented pairs absorb the slack (they fail either way
-    # at their current +-2e-5 structural residual)
-    "h3o": 5.0,
-    "charged_cluster": 5.0,
-    "gly10_unfrag": 5.0,
-    "gly10_mbe": 5.0,
-    "prism_unfrag": 10.0,
-    "prism_mbe": 10.0,
+    # upweight the near-tolerance anchors HARD: after the round-3 kpair
+    # stage these sit at 1.0-1.2e-6 against a 1e-6 validation bar while
+    # the gly3 pair is structurally stuck at +-6e-5 — the optimizer must
+    # prefer tipping the marginal families over shaving the stuck pair
+    "h3o": 30.0,
+    "charged_cluster": 30.0,
+    "gly10_unfrag": 10.0,
+    "gly10_mbe": 10.0,
+    "prism_unfrag": 30.0,
+    "prism_mbe": 30.0,
+    "h3o_gnorm": 5.0,
+    "prism_gnorm": 5.0,
+    "h3o_hnorm": 5.0,
+    "prism_hnorm": 5.0,
+    "gly3ov_hnorm": 5.0,
 }
 
 #: gradient-norm targets: name -> (energy-target providing the fragment set,
@@ -528,7 +534,13 @@ def main() -> int:
             list(TARGETS) + list(GN_TARGETS) + list(HN_TARGETS)
         )
 
-    settings = settings_from_params(VARIANT)
+    # CONVERGED targets: a decane coincident-cap intersection term needs
+    # ~90 SCC iterations (resid 0.43 at the 32-iteration default!) and the
+    # +4-charged cluster converges slowly — fitting against unconverged
+    # energies silently decalibrates exactly those targets (measured: the
+    # fit's decane residual +7e-5 vs the converged driver's +7e-4 on the
+    # SAME tables). The early-exit makes converged evaluation cheap.
+    settings = settings_from_params(VARIANT, max_scf_iter=256, scf_tol=1e-10)
     if args.seed_from:
         from metalquicha_tpu.methods.xtb.param_fit import theta_from_overlay
 
@@ -703,6 +715,7 @@ def main() -> int:
             lm = max(lm * 0.3, 1e-10)
             if rmse_new < best[0]:
                 best = (rmse_new, flat.copy(), r.copy())
+                _checkpoint(best[1])  # lossless harvest on kill
         else:
             lm = min(lm * 5.0, 1e4)  # reject step, increase damping
             if lm >= 1e4:
