@@ -372,7 +372,19 @@ def _eigh_safe_bwd(res, cot):
     w, v = res
     dw, dv = cot
     gap = w[..., None, :] - w[..., :, None]  # (i, j): w_j - w_i
-    f = gap / (gap**2 + 1e-18)
+    # Dtype-aware degeneracy cut (round-3 silent-bug fix): eigh's own
+    # eigenvalue noise is ~eps_mach*||A||, so numerically-degenerate pairs
+    # (identical-monomer MBE dimers, coincident GMBE caps, padded levels)
+    # show gaps at that scale rather than 0. The old kernel g/(g^2+1e-18)
+    # was f64-tuned: at f32 noise gaps (~1e-6) it amplified by ~1e6 and the
+    # degenerate-block cancellation failed, returning ~40-200x-wrong
+    # gradients while the SCC reported converged. Gaps below
+    # sqrt(eps_mach) (f32: 3.5e-4, f64: 1.5e-8 Ha) are treated as exact
+    # degeneracies and their coupling zeroed — the correct limit for
+    # gauge-invariant outputs (energies, equal-occupation densities).
+    tol = jnp.sqrt(jnp.finfo(w.dtype).eps)
+    keep = jnp.abs(gap) > tol
+    f = jnp.where(keep, 1.0 / jnp.where(keep, gap, 1.0), 0.0)
     inner = f * (jnp.swapaxes(v, -1, -2) @ dv)
     idx = jnp.arange(w.shape[-1])
     inner = inner.at[..., idx, idx].add(dw)
@@ -688,9 +700,24 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
     # needed; the final variational energy always re-solves with jnp eigh.
     use_sp2 = fast_inloop and S.shape[-1] > PALLAS_EIGH_MAX_N
     if use_pallas or use_sp2:
-        # orthogonalize once via S^-1/2
+        # Orthogonalize once via canonical S^-1/2 WITH linear-dependence
+        # removal, mirroring the f64 path's _ortho_factors: coincident GMBE
+        # caps make S singular, and the old bare rsqrt(max(s, 1e-10)) clamp
+        # amplified f32 null-space eigenvalue noise by ~1e5 (ADVICE r3).
+        # Threshold 1e-5 is the f32-scaled analog of the f64 path's 1e-7
+        # (eigh eigenvalue noise ~ eps_mach * ||S||); removed combos are
+        # pinned at +PAD_LEVEL in the transformed Fock so they are never
+        # occupied by either the Jacobi solver or SP2's trace projection.
         s_eig, U = jnp.linalg.eigh(S)
-        Xs = (U * jax.lax.rsqrt(jnp.maximum(s_eig, 1e-10))[None, :]) @ U.T
+        lindep = 1e-5
+        s_keep = (s_eig > lindep).astype(S.dtype)
+        winv = jnp.where(
+            s_eig > lindep, jax.lax.rsqrt(jnp.maximum(s_eig, lindep)), 0.0
+        )
+        Xs = (U * winv[None, :]) @ U.T
+        shift_out = PAD_LEVEL * (
+            jnp.eye(S.shape[-1], dtype=S.dtype) - (U * s_keep[None, :]) @ U.T
+        )
         L = S  # unused
 
     if use_sp2:
@@ -698,7 +725,8 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
 
         def make_density(F):
             Po = sp2_density(
-                Xs @ F @ Xs, batch.nelec, batch.nuhf, batch.ao_mask
+                Xs @ F @ Xs + shift_out,
+                batch.nelec, batch.nuhf, batch.ao_mask,
             )
             return Xs @ Po @ Xs
 
@@ -708,7 +736,7 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
             from ...ops.jacobi_eigh import jacobi_eigh
 
             def solve_eigh(F, _L):
-                eps, Cp = jacobi_eigh(Xs @ F @ Xs)
+                eps, Cp = jacobi_eigh(Xs @ F @ Xs + shift_out)
                 return eps, Xs @ Cp
 
         else:

@@ -317,3 +317,33 @@ def test_gfn2_multipole_scc_and_gradients():
         em, _ = calc.energies(fd._replace(coords=cm))
         fdg = (float(np.asarray(ep)[0]) - float(np.asarray(em)[0])) / (2 * h)
         assert abs(fdg - g0[ia, d]) < 5e-6, (ia, d, fdg, g0[ia, d])
+
+
+def test_f32_degenerate_dimer_gradient():
+    """Identical-monomer dimers must give correct f32 gradients.
+
+    Round-3 regression: two waters with IDENTICAL internal geometry 12 Bohr
+    apart produce exactly degenerate eigenvalue pairs across the monomers.
+    eigh_safe's old backward kernel g/(g^2+1e-18) was f64-tuned; at f32
+    noise-level gaps (~1e-6) it amplified by ~1e6, returning |g| ~43x too
+    large while the SCC reported converged (the TPU production path). The
+    dtype-aware degeneracy cut must keep f32 within ~1e-3 of f64.
+    """
+    import jax.numpy as jnp
+
+    numbers, coords, charge, mult = WATER
+    z = np.concatenate([numbers, numbers])
+    c = np.vstack([coords, coords + np.array([[12.0, 0.0, 0.0]])])
+    dimer = (z, c, 0, 1)
+
+    calc64 = XtbCalculator(dtype=jnp.float64)
+    _, g64, _ = calc64.gradients(calc64.make_batch([dimer]))
+    n64 = float(np.sqrt((np.asarray(g64[0]) ** 2).sum()))
+
+    calc32 = XtbCalculator(dtype=jnp.float32)
+    _, g32, aux = calc32.gradients(calc32.make_batch([dimer]))
+    n32 = float(np.sqrt((np.asarray(g32[0]) ** 2).sum()))
+    resid = float(np.asarray(aux["scf_residual"]).max())
+
+    assert resid < 1e-4, f"f32 SCC did not converge: {resid}"
+    assert abs(n32 - n64) < 1e-3, (n32, n64)
