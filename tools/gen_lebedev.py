@@ -170,13 +170,21 @@ def solve_rule(order: int, n_starts: int = 400, seed: int = 0, verbose=True):
         return _residual(theta, comp, conds, rhs)[0]
 
     best = None
+    n_b = comp.count("b")
+    n_c = comp.count("c")
     for trial in range(n_starts):
+        # same-type orbits are interchangeable, so the residual is invariant
+        # under permuting their parameters — draw b (and c) parameters SORTED
+        # to collapse the k!-fold redundancy of the start space (essential
+        # for the 194/230/302 rules with 4-6 b orbits)
+        b_draws = iter(np.sort(rng.uniform(0.08, 0.70, size=n_b)))
+        c_draws = iter(np.sort(rng.uniform(0.05, 0.95, size=n_c)))
         theta0 = []
         for name in comp:
             if name == "b":
-                theta0.append(rng.uniform(0.05, 0.70))
+                theta0.append(next(b_draws))
             elif name == "c":
-                theta0.append(rng.uniform(0.05, 0.95))
+                theta0.append(next(c_draws))
             elif name == "d":
                 r = rng.uniform(0.05, 0.9)
                 s = rng.uniform(0.05, np.sqrt(max(0.99 - r * r, 1e-4)))
@@ -194,9 +202,12 @@ def solve_rule(order: int, n_starts: int = 400, seed: int = 0, verbose=True):
             continue
         res_vec, w = _residual(sol.x, comp, conds, rhs)
         err = np.abs(res_vec).max()
-        # the published 74-point rule genuinely carries one negative weight;
-        # everywhere else demand positivity (it selects the Lebedev branch)
-        w_ok = np.all(w > 1e-9) or (order == 74 and np.all(np.abs(w) > 1e-9))
+        # the published 74- and 230-point rules genuinely carry one negative
+        # weight each (Lebedev-Laikov LD0074/LD0230); everywhere else demand
+        # positivity (it selects the Lebedev branch)
+        w_ok = np.all(w > 1e-9) or (
+            order in (74, 230) and np.all(np.abs(w) > 1e-9)
+        )
         if err < 1e-13 and w_ok:
             # spurious near-degenerate solutions can satisfy the
             # representative moment conditions yet fail off-basis
