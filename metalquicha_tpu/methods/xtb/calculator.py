@@ -355,11 +355,18 @@ class XtbCalculator:
         self.dtype = dtype
         self.solvation = solvation
 
-        self._energies = jax.jit(
+        self._jits = {}  # settings -> (energies_fn, gradients_fn)
+
+    def _compiled(self, settings):
+        try:
+            return self._jits[settings]
+        except KeyError:
+            pass
+        energies_fn = jax.jit(
             jax.vmap(
                 partial(
                     single_point_energy,
-                    settings=self.settings,
+                    settings=settings,
                     solvation=self.solvation,
                 )
             ),
@@ -368,10 +375,40 @@ class XtbCalculator:
         def e_and_g(coords, frag):
             (e, aux), g = jax.value_and_grad(
                 single_point_energy, argnums=0, has_aux=True
-            )(coords, frag, self.settings, self.solvation)
+            )(coords, frag, settings, self.solvation)
             return e, g, aux
 
-        self._gradients = jax.jit(jax.vmap(e_and_g))
+        pair = (energies_fn, jax.jit(jax.vmap(e_and_g)))
+        self._jits[settings] = pair
+        return pair
+
+    def _settings_for(self, frag: FragmentData):
+        """Per-batch settings: disable the SP2 in-loop solver where unsafe.
+
+        SP2 builds a T=0 integer-occupation projector; it agrees with the
+        production 300 K Fermi-smeared fixed point only for closed-shell
+        fragments with a clear HOMO-LUMO gap. Open-shell batches (nuhf>0)
+        and d/f-block elements (near-degenerate partially-filled d levels)
+        get the exact in-loop eigensolver instead (ADVICE r3). The check is
+        host-side on concrete batch data, so each case compiles once.
+        """
+        s = self.settings
+        if not (s.use_pallas_eigh and self.dtype == jnp.float32):
+            return s
+        from .engine import PALLAS_EIGH_MAX_N
+
+        if frag.ao_mask.shape[-1] <= PALLAS_EIGH_MAX_N:
+            return s  # Pallas Jacobi path: a true eigh, smearing intact
+        nums = np.asarray(frag.numbers)
+        d_block = (
+            ((nums >= 21) & (nums <= 30))
+            | ((nums >= 39) & (nums <= 48))
+            | ((nums >= 57) & (nums <= 80))
+            | (nums >= 89)
+        )
+        if d_block.any() or np.asarray(frag.nuhf).any():
+            return s._replace(use_pallas_eigh=False)
+        return s
 
     def make_batch(self, fragments, pad_to=None) -> FragmentData:
         batch = build_batch(fragments, variant=self.variant, pad_to=pad_to)
@@ -380,7 +417,9 @@ class XtbCalculator:
         )
 
     def energies(self, frag: FragmentData):
-        return self._energies(frag.coords, frag)
+        fn, _ = self._compiled(self._settings_for(frag))
+        return fn(frag.coords, frag)
 
     def gradients(self, frag: FragmentData):
-        return self._gradients(frag.coords, frag)
+        _, fn = self._compiled(self._settings_for(frag))
+        return fn(frag.coords, frag)

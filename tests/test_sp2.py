@@ -155,3 +155,45 @@ def test_sp2_scc_matches_eigh_fixed_point(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(q_sp2), np.asarray(q_ref), atol=1e-4
     )
+
+
+def test_sp2_gate_disabled_for_d_block_and_open_shell(monkeypatch):
+    """The calculator must not route d-block or open-shell batches to SP2.
+
+    SP2's T=0 integer-occupation projector diverges from the production
+    300 K smeared fixed point exactly where partially-filled d levels make
+    the gap small (ADVICE r3). The per-batch settings gate swaps in the
+    exact in-loop eigensolver for those batches; gapped closed-shell
+    main-group batches keep the fast path.
+    """
+    import jax.numpy as jnp
+
+    from metalquicha_tpu.methods.xtb import engine
+    from metalquicha_tpu.methods.xtb.calculator import XtbCalculator
+    from metalquicha_tpu.methods.xtb.engine import settings_from_params
+
+    calc = XtbCalculator(
+        settings_from_params("gfn1", use_pallas_eigh=True),
+        dtype=jnp.float32,
+    )
+    # force every batch above the Jacobi ceiling so SP2 would be selected
+    monkeypatch.setattr(engine, "PALLAS_EIGH_MAX_N", 2)
+
+    water = (np.array([8, 1, 1]), np.array(
+        [[0.0, 0.0, 0.0], [0.0, 1.43, 1.1], [0.0, -1.43, 1.1]]), 0, 1)
+    closed = calc.make_batch([water])
+    assert calc._settings_for(closed).use_pallas_eigh is True
+
+    tio = (np.array([22, 8]), np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 3.1]]),
+           0, 1)
+    d_block = calc.make_batch([tio])
+    assert calc._settings_for(d_block).use_pallas_eigh is False
+
+    doublet = (np.array([8, 1]), np.array(
+        [[0.0, 0.0, 0.0], [0.0, 0.0, 1.83]]), 0, 2)
+    open_shell = calc.make_batch([doublet])
+    assert calc._settings_for(open_shell).use_pallas_eigh is False
+
+    # below the ceiling the Jacobi path (a true eigh) stays on
+    monkeypatch.setattr(engine, "PALLAS_EIGH_MAX_N", 64)
+    assert calc._settings_for(d_block).use_pallas_eigh is True

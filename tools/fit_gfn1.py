@@ -455,6 +455,12 @@ class TargetEval:
             )
             groups[key].append((frag, float(w)))
 
+        # memory bound: differentiate at most CHUNK fragments per jitted
+        # call (w20's 4845-tetramer group peaked >20 GB as one batch in
+        # round 3). Chunks of one group share a single jitted fn; partial
+        # tails are padded to CHUNK with zero-weight base-geometry rows so
+        # every chunk hits the same compile-cache entry.
+        CHUNK = 512
         self.groups = []
         for key, members in groups.items():
             rep = members[0][0]
@@ -464,7 +470,8 @@ class TargetEval:
                 rep.numbers, rep.coords, rep.charge, rep.multiplicity,
                 pad_to=pad, variant=VARIANT,
             )
-            coords = np.zeros((len(members), pad[0], 3))
+            B = len(members)
+            coords = np.zeros((B, pad[0], 3))
             base_coords = np.asarray(spec.base.coords)
             for i, (frag, _w) in enumerate(members):
                 coords[i] = base_coords
@@ -482,16 +489,27 @@ class TargetEval:
 
                 return jax.vmap(one)(coords_b)
 
-            self.groups.append(
-                {
-                    "fn": jax.jit(jax.value_and_grad(
-                        lambda th, cb, wb, fn=group_energy: (fn(th, cb) * wb).sum()
-                    )),
-                    "coords": jnp.asarray(coords),
-                    "w": jnp.asarray(w),
-                    "count": len(members),
-                }
-            )
+            fn = jax.jit(jax.value_and_grad(
+                lambda th, cb, wb, fn=group_energy: (fn(th, cb) * wb).sum()
+            ))
+            n_chunks = (B + CHUNK - 1) // CHUNK
+            for ci in range(n_chunks):
+                lo, hi = ci * CHUNK, min((ci + 1) * CHUNK, B)
+                cb, wb = coords[lo:hi], w[lo:hi]
+                if n_chunks > 1 and hi - lo < CHUNK:
+                    n_pad = CHUNK - (hi - lo)
+                    cb = np.concatenate(
+                        [cb, np.repeat(base_coords[None], n_pad, axis=0)]
+                    )
+                    wb = np.concatenate([wb, np.zeros(n_pad)])
+                self.groups.append(
+                    {
+                        "fn": fn,
+                        "coords": jnp.asarray(cb),
+                        "w": jnp.asarray(wb),
+                        "count": hi - lo,
+                    }
+                )
 
     def value_and_grad(self, theta):
         total = 0.0
@@ -517,21 +535,31 @@ def main() -> int:
     ap.add_argument("--seed-from", default=None,
                     help="warm-start theta from a previous fit JSON")
     ap.add_argument("--decane-weight", type=float, default=None)
+    ap.add_argument("--weight", action="append", default=[],
+                    help="override a residual weight, NAME=VALUE "
+                         "(repeatable or comma-separated)")
     ap.add_argument("--scipy", action="store_true",
                     help="scipy trust-region with the analytic Jacobian")
     args = ap.parse_args()
 
     if args.decane_weight is not None:
         TARGET_WEIGHTS["gmbe_decane"] = args.decane_weight
+    for ov in args.weight:
+        for item in ov.split(","):
+            k, _, v = item.partition("=")
+            TARGET_WEIGHTS[k.strip()] = float(v)
 
     if args.variant == "gfn2":
         TARGETS, GN_TARGETS, VARIANT = GFN2_TARGETS, GFN2_GRADNORM_TARGETS, "gfn2"
         HN_TARGETS = {}
+        MBE_HN = {}
     else:
         HN_TARGETS = HESSNORM_TARGETS
+        MBE_HN = MBE_HESSNORM_TARGETS
     if args.targets is None:
         args.targets = ",".join(
             list(TARGETS) + list(GN_TARGETS) + list(HN_TARGETS)
+            + list(MBE_HN)
         )
 
     # CONVERGED targets: a decane coincident-cap intersection term needs
