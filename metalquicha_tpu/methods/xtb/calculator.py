@@ -222,7 +222,8 @@ def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
 
 
 def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
-                        solvation=None, diff_scf_iters: int = 0):
+                        solvation=None, diff_scf_iters: int = 0,
+                        q_init=None):
     """Total GFN1 energy of one (padded) fragment; differentiable in coords.
 
     diff_scf_iters > 0 re-refines the converged charges with that many
@@ -230,13 +231,28 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     (needed for exact SECOND derivatives such as d|grad|/d(theta); first
     derivatives are already exact through the variational functional).
 
+    q_init (non-multipole path only): skip the SCC solve and refine the
+    supplied shell charges with max(diff_scf_iters, 2) fixed-point steps
+    instead — the warm-start entry for mixed-precision workflows (f32 TPU
+    SCC, f64 host polish; tools/hybrid_energy.py) and for sequential
+    geometries (AIMD/FD sweeps). The reported scf_residual is the true
+    post-refine fixed-point residual.
+
     Returns (energy, aux) with aux = {charges, scf_residual, dipole}.
     """
     kt = settings.electronic_temp * KB_HARTREE
-    q_star, resid = _converge_charges(coords, frag, kt, settings, solvation)
+    if q_init is None:
+        q_star, resid = _converge_charges(coords, frag, kt, settings,
+                                          solvation)
+    else:
+        if settings.multipoles:
+            raise NotImplementedError(
+                "q_init warm starts support the GFN1 (non-multipole) path"
+            )
+        q_star, resid = None, None
 
     gamma_at = _solv_gamma(coords, frag, solvation)
-    if diff_scf_iters and not settings.multipoles:
+    if (diff_scf_iters or q_init is not None) and not settings.multipoles:
         S = overlap_matrix(
             coords, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha,
             frag.prim_coeff,
@@ -247,10 +263,20 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         )
         H0 = h0_matrix(S, coords, frag, cn, settings)
         gamma = gamma_matrix(coords, frag, settings)
-        q_star = scf_refine(
-            H0, S, gamma, frag, kt, settings, q_star, diff_scf_iters,
-            gamma_at,
-        )
+        if q_init is not None:
+            q_prev = scf_refine(
+                H0, S, gamma, frag, kt, settings, q_init,
+                max(diff_scf_iters, 2) - 1, gamma_at,
+            )
+            q_star = scf_refine(
+                H0, S, gamma, frag, kt, settings, q_prev, 1, gamma_at
+            )
+            resid = jnp.abs(q_star - q_prev).max()
+        else:
+            q_star = scf_refine(
+                H0, S, gamma, frag, kt, settings, q_star, diff_scf_iters,
+                gamma_at,
+            )
     # dispersion rides its OWN coordination number: tblite's d3 container
     # uses the classic single-exponential D3 CN even though the hamiltonian
     # self-energies use the double-exponential "gfn" counting
@@ -321,6 +347,10 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         energy = energy + solvation.surface_energy(coords, frag)
     aux = {
         "charges": q_at,
+        # shell-resolved converged charges (GFN2: packed AES state): the
+        # hand-off point for mixed-precision workflows — f32 TPU SCC
+        # followed by f64 host refine+energy (tools/hybrid_energy.py)
+        "shell_charges": q_star,
         "scf_residual": resid,
         "dipole": dipole,
         "e_el": e_el,

@@ -347,3 +347,44 @@ def test_f32_degenerate_dimer_gradient():
 
     assert resid < 1e-4, f"f32 SCC did not converge: {resid}"
     assert abs(n32 - n64) < 1e-3, (n32, n64)
+
+
+def test_q_init_warm_start_matches_cold_scc(calc):
+    """single_point_energy(q_init=...) recovers the cold-SCC fixed point.
+
+    The warm-start entry powers the mixed-precision workflow
+    (tools/hybrid_energy.py): the variational functional is stationary at
+    q*, so polishing slightly-perturbed charges with 2 damped steps must
+    reproduce the converged energy to second order in the perturbation.
+    """
+    import jax.numpy as jnp
+
+    from metalquicha_tpu.methods.xtb.calculator import single_point_energy
+
+    frag_b = calc.make_batch([WATER])
+    e_cold, aux_cold = calc.energies(frag_b)
+    e_cold = float(np.asarray(e_cold)[0])
+
+    frag1 = jax.tree.map(lambda x: x[0], frag_b)
+    q_star = jnp.asarray(np.asarray(aux_cold["shell_charges"])[0])
+
+    # exact warm start: identical fixed point
+    e_warm, aux_warm = single_point_energy(
+        frag1.coords, frag1, calc.settings, q_init=q_star, diff_scf_iters=2
+    )
+    assert float(e_warm) == pytest.approx(e_cold, abs=1e-11)
+    assert float(aux_warm["scf_residual"]) < 1e-9
+
+    # f32-noise-scale perturbation: O(eps^2) energy error after polish
+    rng = np.random.default_rng(0)
+    q_pert = q_star + jnp.asarray(
+        1e-4 * rng.normal(size=q_star.shape)
+    ) * frag1.sh_mask
+    e_p2, _ = single_point_energy(
+        frag1.coords, frag1, calc.settings, q_init=q_pert, diff_scf_iters=2
+    )
+    assert float(e_p2) == pytest.approx(e_cold, abs=1e-8)
+    e_p8, _ = single_point_energy(
+        frag1.coords, frag1, calc.settings, q_init=q_pert, diff_scf_iters=8
+    )
+    assert float(e_p8) == pytest.approx(e_cold, abs=1e-10)

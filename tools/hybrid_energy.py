@@ -1,0 +1,201 @@
+#!/usr/bin/env python3
+"""Measured mitigation for the TPU f32 accuracy gap (VERDICT r3 item 6).
+
+Mixed-precision single points: the f32 TPU SCC does the iteration work,
+then the f64 host evaluates the VARIATIONAL energy functional at (a few
+damped refinements of) the f32-converged shell charges. Because the
+functional is stationary at q*, an O(eps) charge error costs only
+O(eps^2) energy error — so a handful of f64 polish steps recover full
+f64 accuracy without re-running the SCC in f64 (which this TPU cannot
+do anyway: no f64 linalg.solve).
+
+Two stages (jax platform/x64 flags are process-global; run each in its
+own process):
+
+    python tools/hybrid_energy.py --stage tpu   # f32 SCC -> /tmp state
+    python tools/hybrid_energy.py --stage cpu   # f64 polish + report
+
+The cpu stage appends a mitigation table to TPU_ACCURACY.md and writes
+the rows into TPU_ACCURACY.json under "mitigation".
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+
+INPUTS = os.path.join(REPO, "validation", "inputs")
+STATE = "/tmp/hybrid_energy_state"
+
+#: case -> (xyz under validation/inputs/sample_inputs, charge)
+CASES = {
+    "h3o": ("h3op.xyz", 1),
+    "w1": ("w1.xyz", 0),
+    "gly3": ("gly3.xyz", 0),
+    "prism6": ("prism.xyz", 0),
+}
+
+
+def _load_fragment(case: str):
+    from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
+    from metalquicha_tpu.io.xyz import read_xyz_file
+
+    xyz, charge = CASES[case]
+    geom = read_xyz_file(os.path.join(INPUTS, "sample_inputs", xyz))
+    return (np.asarray(geom.numbers),
+            np.asarray(geom.coords_angstrom) * ANGSTROM_TO_BOHR, charge, 1)
+
+
+def stage_tpu() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    from metalquicha_tpu.methods.xtb.calculator import XtbCalculator
+
+    os.makedirs(STATE, exist_ok=True)
+    calc = XtbCalculator(dtype=jnp.float32)
+    for case in CASES:
+        frag = calc.make_batch([_load_fragment(case)])
+        e, aux = calc.energies(frag)  # compile
+        e.block_until_ready()
+        t0 = time.perf_counter()
+        e, aux = calc.energies(
+            frag._replace(coords=frag.coords + jnp.zeros_like(frag.coords))
+        )
+        e.block_until_ready()
+        dt = time.perf_counter() - t0
+        np.savez(
+            os.path.join(STATE, f"{case}.npz"),
+            e32=np.asarray(e)[0],
+            q32=np.asarray(aux["shell_charges"])[0],
+            resid32=np.asarray(aux["scf_residual"])[0],
+            scc_seconds=dt,
+        )
+        print(f"[tpu f32] {case}: E={float(np.asarray(e)[0]):.8f} "
+              f"resid={float(np.asarray(aux['scf_residual'])[0]):.1e} "
+              f"({dt*1e3:.0f} ms)")
+    print(f"state -> {STATE}")
+    return 0
+
+
+def stage_cpu() -> int:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from metalquicha_tpu.methods.xtb.calculator import (
+        XtbCalculator,
+        single_point_energy,
+    )
+
+    from functools import partial
+
+    calc = XtbCalculator(dtype=jnp.float64)
+    hyb_fns = {
+        k: jax.jit(partial(
+            single_point_energy, settings=calc.settings, diff_scf_iters=k
+        ), static_argnames=())
+        for k in (2, 4, 8)
+    }
+    rows = []
+    for case in CASES:
+        st = np.load(os.path.join(STATE, f"{case}.npz"))
+        frag_b = calc.make_batch([_load_fragment(case)])
+        # full f64 reference
+        e64, aux64 = calc.energies(frag_b)
+        e64 = float(np.asarray(e64)[0])
+
+        frag1 = jax.tree.map(lambda x: x[0], frag_b)
+        q32 = jnp.asarray(st["q32"], dtype=jnp.float64)
+        row = {
+            "case": case,
+            "e_f64": e64,
+            "e_f32": float(st["e32"]),
+            "f32_error": float(st["e32"]) - e64,
+            "f32_resid": float(st["resid32"]),
+            "hybrid": {},
+        }
+        for k in (2, 4, 8):
+            eh, auxh = hyb_fns[k](frag1.coords, frag1, q_init=q32)
+            row["hybrid"][str(k)] = {
+                "error": float(eh) - e64,
+                "resid": float(auxh["scf_residual"]),
+            }
+        rows.append(row)
+        hs = "  ".join(
+            f"k={k}: {v['error']:+.2e}" for k, v in row["hybrid"].items()
+        )
+        print(f"[cpu f64] {case}: f32 err {row['f32_error']:+.2e} -> {hs}")
+
+    # attach to the TPU_ACCURACY artifact
+    acc_json = os.path.join(REPO, "TPU_ACCURACY.json")
+    acc = {"cases": []}
+    if os.path.exists(acc_json):
+        with open(acc_json) as fh:
+            acc = json.load(fh)
+    acc["mitigation"] = {
+        "description": "f64 host evaluation of the variational functional "
+                       "at k damped refinements of the f32-TPU-converged "
+                       "shell charges (calculator.single_point_energy "
+                       "q_init=...)",
+        "rows": rows,
+    }
+    with open(acc_json, "w") as fh:
+        json.dump(acc, fh, indent=1)
+
+    md = os.path.join(REPO, "TPU_ACCURACY.md")
+    lines = [
+        "",
+        "## Mitigation: f64 polish of f32-TPU charges",
+        "",
+        "The energy functional is variational in the shell charges, so an",
+        "f32 charge error eps costs only O(eps^2) energy error when the",
+        "functional is re-evaluated in f64 on the host. k damped f64",
+        "refinement steps from the f32-converged charges"
+        " (`single_point_energy(q_init=...)`):",
+        "",
+        "| case | f32 energy error | k=2 | k=4 | k=8 |",
+        "|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['case']} | {r['f32_error']:+.2e} | "
+            + " | ".join(
+                f"{r['hybrid'][str(k)]['error']:+.2e}" for k in (2, 4, 8)
+            )
+            + " |"
+        )
+    lines.append("")
+    lines.append(
+        "The TPU does the SCC iteration work; the host pays a handful of"
+    )
+    lines.append(
+        "diagonalizations instead of a full f64 SCC."
+    )
+    with open(md, "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(f"appended mitigation table to {md}")
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=("tpu", "cpu"), required=True)
+    args = ap.parse_args()
+    return stage_tpu() if args.stage == "tpu" else stage_cpu()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
