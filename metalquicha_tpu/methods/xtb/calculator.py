@@ -320,9 +320,11 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         )
         q_at = jnp.zeros(nat).at[frag.sh_atom].add(q_star * frag.sh_mask)
         dipole = ((frag.atom_mask * q_at)[:, None] * coords).sum(0)
+    light_mask = ((frag.numbers > 0) & (frag.numbers <= 2)).astype(coords.dtype)
     e_rep = repulsion_energy(
         coords, frag.at_zeff, frag.at_alpha, frag.atom_mask,
         frag.glb[8], frag.glb[9],
+        light_mask=light_mask, klight=settings.klight_rep,
     )
 
     # per-element atomic reference constants (zero geometric derivatives);

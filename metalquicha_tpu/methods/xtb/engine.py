@@ -58,6 +58,9 @@ class EngineSettings(NamedTuple):
     kcn_steep: float = 16.0
     kexp_rep: float = 1.5
     rexp_rep: float = 1.0
+    #: reduced repulsion distance exponent for light-light (Z<=2) pairs —
+    #: the GFN1 klight rule (published 1.0). None = uniform kexp (GFN2).
+    klight_rep: float = None
     gexp: float = 2.0
     kll: tuple = ((1.85, 2.08, 2.00), (2.08, 2.25, 2.00), (2.00, 2.00, 2.00))
     third_order: bool = True
@@ -106,6 +109,7 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
         kcn_steep=g.kcn_exp,
         kexp_rep=g.kexp,
         rexp_rep=g.rexp,
+        klight_rep=getattr(g, "klight", None),
         gexp=g.gexp,
         kll=(
             (g.kss, g.ksp, g.ksd),
@@ -185,8 +189,17 @@ def pair_distances(coords):
     )
 
 
-def repulsion_energy(coords, zeff, alpha, atom_mask, kexp, rexp):
-    """E_rep = sum_{A<B} ZA ZB / R^rexp * exp(-sqrt(aA aB) R^kexp).
+def repulsion_energy(coords, zeff, alpha, atom_mask, kexp, rexp,
+                     light_mask=None, klight=None):
+    """E_rep = sum_{A<B} ZA ZB / R^rexp * exp(-sqrt(aA aB) R^k_AB).
+
+    GFN1 uses a REDUCED distance exponent for pairs of light elements
+    (H/He): k_AB = klight (published 1.0) when both atoms have Z <= 2,
+    kexp (1.5) otherwise — the tblite repulsion "klight" rule. At geminal
+    H..H distances (~3.3 Bohr) the two forms differ by ~400x (2.6e-4 vs
+    5.5e-7 Ha per pair), which no smooth alpha/Zeff refit can mimic across
+    the whole distance range. klight=None keeps the uniform-kexp form
+    (GFN2: klight == kexp, so uniform is exact there).
 
     Coincident pairs (r ~ 0, e.g. stacked GMBE caps) are skipped, matching
     the tblite kernels' r ~ 0 guard."""
@@ -197,7 +210,12 @@ def repulsion_energy(coords, zeff, alpha, atom_mask, kexp, rexp):
     r = jnp.maximum(r, 1e-5)  # masked pairs must stay finite (0*inf = NaN)
     zz = zeff[:, None] * zeff[None, :]
     ab = jnp.sqrt(alpha[:, None] * alpha[None, :])
-    e = zz / r**rexp * jnp.exp(-ab * r**kexp)
+    if klight is not None and light_mask is not None:
+        light_pair = light_mask[:, None] * light_mask[None, :]
+        k_ab = kexp + (klight - kexp) * light_pair
+    else:
+        k_ab = kexp
+    e = zz / r**rexp * jnp.exp(-ab * r**k_ab)
     return 0.5 * (e * pair_mask).sum()
 
 

@@ -97,6 +97,15 @@ class GlobalParams:
     ken: float = -0.007      # electronegativity factor k_EN
     kcn_exp: float = 16.0    # CN counting function steepness (exp type)
     kexp: float = 1.5        # repulsion distance exponent
+    #: reduced repulsion exponent for light-light (both Z<=2) pairs — the
+    #: GFN1 klight rule (published value 1.0; tblite repulsion container).
+    #: None = uniform kexp (the pre-round-4 form). At geminal H..H
+    #: distances the published form is ~400x larger (2.6e-4 vs 5.5e-7 Ha
+    #: per pair) — an energy fit can absorb that into alpha/zeff, but not
+    #: its CURVATURE (hess_h3o/prism_hessian failed on Hessian norms only).
+    #: The working value travels with the fitted overlay ("form" section):
+    #: tables and the functional form they were fitted under stay paired.
+    klight: float = None
     rexp: float = 1.0        # repulsion 1/R power
     gexp: float = 2.0        # Mataga-Nishimoto-Ohno-Klopman exponent
     # D3(BJ) dispersion for GFN1

@@ -196,12 +196,22 @@ def solve_rule(order: int, n_starts: int = 400, seed: int = 0, verbose=True):
             best = cand
             break
         try:
-            sol = least_squares(f, theta0, method="lm", xtol=3e-16,
-                                ftol=3e-16, gtol=3e-16, max_nfev=4000)
+            # cheap first pass: either the basin is right (converges in
+            # <<600 evals) or it never will — don't burn 4000 evals/trial
+            sol = least_squares(f, theta0, method="lm", xtol=1e-14,
+                                ftol=1e-14, gtol=1e-14, max_nfev=600)
+            res_vec, w = _residual(sol.x, comp, conds, rhs)
+            if np.abs(res_vec).max() < 1e-8:
+                # promising basin: polish to round-off
+                sol = least_squares(f, sol.x, method="lm", xtol=3e-16,
+                                    ftol=3e-16, gtol=3e-16, max_nfev=4000)
         except Exception:
             continue
         res_vec, w = _residual(sol.x, comp, conds, rhs)
         err = np.abs(res_vec).max()
+        if verbose and trial % 200 == 199:
+            print(f"  order {order}: trial {trial + 1}, still searching "
+                  f"(this basin {err:.1e})", flush=True)
         # the published 74- and 230-point rules genuinely carry one negative
         # weight each (Lebedev-Laikov LD0074/LD0230); everywhere else demand
         # positivity (it selects the Lebedev branch)
