@@ -203,7 +203,8 @@ def test_angular_grids_exactness():
             k -= 2
         return out
 
-    for n, deg in ((74, 13), (86, 15), (110, 17), (146, 19)):
+    for n, deg in ((74, 13), (86, 15), (110, 17), (146, 19), (170, 21),
+                   (194, 23), (230, 25), (302, 29)):
         pts, w = angular_grid(n)
         assert len(w) == n, f"order {n} should be a true Lebedev rule"
         np.testing.assert_allclose(w.sum(), 1.0, atol=1e-12)
