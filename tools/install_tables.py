@@ -1,0 +1,40 @@
+#!/usr/bin/env python3
+"""Install a fitted GFN1 overlay into the package, stamping the functional
+form it was fitted under (globals.klight) so tables and form stay paired.
+
+Usage: python tools/install_tables.py <fitted.json[.ckpt]> [--klight 1.0]
+Writes metalquicha_tpu/methods/xtb/data/gfn1_fitted.json. Run the full
+validation suite afterwards and only COMMIT if the pass count does not
+regress.
+"""
+import argparse
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("src")
+    ap.add_argument("--klight", type=float, default=1.0)
+    args = ap.parse_args()
+
+    with open(args.src) as fh:
+        data = json.load(fh)
+    data.setdefault("globals", {})["klight"] = args.klight
+    data.pop("residuals", None)
+    data.pop("d3_pairs", None)  # dense array duplicate of d3_c6_pairs
+    dst = os.path.join(
+        REPO, "metalquicha_tpu", "methods", "xtb", "data", "gfn1_fitted.json"
+    )
+    with open(dst, "w") as fh:
+        json.dump(data, fh)
+    print(f"installed {args.src} -> {dst} (klight={args.klight})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
