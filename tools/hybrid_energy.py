@@ -68,12 +68,15 @@ def stage_tpu() -> int:
         frag = calc.make_batch([_load_fragment(case)])
         e, aux = calc.energies(frag)  # compile
         e.block_until_ready()
+        # perturb the timed input: the axon backend caches executions with
+        # IDENTICAL input buffers, so a zero perturbation would time a
+        # cache hit (CLAUDE.md). 1e-7 Bohr is far below the f32 SCC noise.
         t0 = time.perf_counter()
-        e, aux = calc.energies(
-            frag._replace(coords=frag.coords + jnp.zeros_like(frag.coords))
-        )
-        e.block_until_ready()
+        e_t, _ = calc.energies(frag._replace(coords=frag.coords + 1e-7))
+        e_t.block_until_ready()
         dt = time.perf_counter() - t0
+        # accuracy rows use the UNPERTURBED result
+        e, aux = calc.energies(frag)
         np.savez(
             os.path.join(STATE, f"{case}.npz"),
             e32=np.asarray(e)[0],
@@ -156,6 +159,15 @@ def stage_cpu() -> int:
         json.dump(acc, fh, indent=1)
 
     md = os.path.join(REPO, "TPU_ACCURACY.md")
+    # idempotent: drop any previously appended mitigation section(s) so
+    # re-runs replace rather than duplicate (ADVICE r4).
+    if os.path.exists(md):
+        with open(md) as fh:
+            existing = fh.read()
+        cut = existing.find("\n## Mitigation: f64 polish")
+        if cut != -1:
+            with open(md, "w") as fh:
+                fh.write(existing[:cut].rstrip() + "\n")
     lines = [
         "",
         "## Mitigation: f64 polish of f32-TPU charges",
