@@ -216,6 +216,42 @@ def main() -> int:
     # effective TFLOP/s of the SP2 route (48 matmuls x 2N^3 + trace work)
     sp2_tflops = 48 * 2.0 * 64 * 256**3 / sp2_t / 1e12
 
+    # Pallas batched-Jacobi: the in-loop eigensolver production f32 runs
+    # actually use at N <= engine.PALLAS_EIGH_MAX_N (the eigh_tflops_*
+    # numbers above are stock XLA — the path production AVOIDS). Same
+    # 9 N^3 nominal-FLOP convention so the columns are comparable.
+    def jacobi_pair(nmat, n, iters=8):
+        from metalquicha_tpu.ops.jacobi_eigh import batched_jacobi_eigh
+
+        dt_ = np.float64 if f64 else np.float32
+        a = rng.normal(size=(nmat, n, n)).astype(dt_)
+        a = jnp.asarray(a + a.transpose(0, 2, 1))
+        routes = {
+            "jacobi": jax.jit(lambda m: batched_jacobi_eigh(m)),
+            "eigh": jax.jit(jnp.linalg.eigh),
+        }
+        secs = {}
+        for name, fn in routes.items():
+            staged = [a * (1.0 + 1e-4 * (i + 1)) for i in range(iters + 2)]
+            for x in staged:
+                x.block_until_ready()
+            for x in staged[:2]:
+                w_, v_ = fn(x)
+                v_.block_until_ready()
+            t0_ = time.perf_counter()
+            for x in staged[2:]:
+                w_, v_ = fn(x)
+            v_.block_until_ready()
+            secs[name] = (time.perf_counter() - t0_) / iters
+        tflops = 9.0 * nmat * n**3 / secs["jacobi"] / 1e12
+        return tflops, secs["eigh"] / secs["jacobi"]
+
+    if use_pallas:
+        jac_small = jacobi_pair(512, 16)    # bench dimer AO dimension
+        jac_large = jacobi_pair(128, 64)    # Jacobi ceiling shape
+    else:
+        jac_small = jac_large = (0.0, 0.0)
+
     # --- production-path metrics -----------------------------------------
     # (a) value_and_grad throughput at the PRODUCTION 32-iteration setting:
     # the quantity MBE gradient/Hessian workloads are made of
@@ -301,6 +337,10 @@ def main() -> int:
                 "eigh_tflops_b64_n256": round(eigh_large, 4),
                 "sp2_density_speedup_b64_n256": round(sp2_speedup, 2),
                 "sp2_tflops_b64_n256": round(sp2_tflops, 4),
+                "jacobi_tflops_b512_n16": round(jac_small[0], 4),
+                "jacobi_speedup_b512_n16": round(jac_small[1], 2),
+                "jacobi_tflops_b128_n64": round(jac_large[0], 4),
+                "jacobi_speedup_b128_n64": round(jac_large[1], 2),
             }
         )
     )

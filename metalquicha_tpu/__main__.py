@@ -30,7 +30,11 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default=None,
                     help="force a JAX platform (cpu/tpu)")
     ap.add_argument("--f32", action="store_true",
-                    help="run in float32 (default: float64)")
+                    help="force the float32 working dtype (default: by "
+                         "backend — f32 on TPU, f64 on CPU)")
+    ap.add_argument("--no-polish", action="store_true",
+                    help="disable the f64 host polish of f32 device "
+                         "results (raw device precision)")
     args = ap.parse_args(argv)
 
     from . import __version__
@@ -46,10 +50,25 @@ def main(argv=None) -> int:
     from .compile_cache import enable as _enable_cache
 
     _enable_cache()
+    import os as _os
+
     if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    if not args.f32:
-        jax.config.update("jax_enable_x64", True)
+        plats = args.platform
+    else:
+        plats = _os.environ.get("JAX_PLATFORMS", "")
+    # keep a host CPU backend next to any accelerator: the f64 polish of
+    # f32 device results runs there (methods/xtb/polish.py)
+    if plats and "cpu" not in plats.split(","):
+        plats = plats + ",cpu"
+    if plats:
+        jax.config.update("jax_platforms", plats)
+    # x64 is ALWAYS on; the working dtype is explicit per backend (factory)
+    # so this only enables the host-side f64 math, it does not change the
+    # device compute dtype.
+    jax.config.update("jax_enable_x64", True)
+    # TPU f32 matmuls default to bf16 passes and stall the SCC at ~1e-2
+    # charge residual; force full-precision accumulation (no-op on CPU)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     print(LOGO)
     print(f" version {__version__}\n")
@@ -57,8 +76,14 @@ def main(argv=None) -> int:
     from .driver import run_file
     from .io.json_writer import output_filename_for
 
+    overrides = {}
+    if args.f32:
+        overrides["force_dtype"] = "f32"
+    if args.no_polish:
+        overrides["host_polish"] = "off"
+
     t0 = time.time()
-    outputs = run_file(args.input)
+    outputs = run_file(args.input, driver_overrides=overrides)
     elapsed = time.time() - t0
 
     for name, out in outputs.items():

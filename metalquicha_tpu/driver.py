@@ -60,6 +60,8 @@ from .results import MbeResult
 
 
 def _make_executor(drv: DriverConfig):
+    import jax.numpy as jnp
+
     from .methods.factory import create_calculator
     from .parallel.executor import FragmentExecutor
     from .parallel.mesh import fragment_mesh
@@ -69,7 +71,34 @@ def _make_executor(drv: DriverConfig):
         global_groups=drv.global_groups,
         nodes_per_group=drv.nodes_per_group,
     )
-    return FragmentExecutor(calc, mesh=mesh)
+    polisher = None
+    if (
+        getattr(calc, "dtype", None) == jnp.float32
+        and getattr(drv, "host_polish", "auto") != "off"
+    ):
+        from .logging_ import global_logger as logger
+        from .methods.xtb.polish import HostPolisher, host_polish_available
+
+        if host_polish_available():
+            cand = HostPolisher(calc)
+            if cand.supports():
+                polisher = cand
+                logger.info(
+                    " mixed precision: f32 device SCC + f64 host polish "
+                    "(results match the f64 parity path; host_polish=off "
+                    "disables)"
+                )
+            else:
+                logger.info(
+                    " host polish unavailable for this method variant; "
+                    "results are raw f32"
+                )
+        else:
+            logger.info(
+                " no host CPU backend for the f64 polish; results are "
+                "raw f32"
+            )
+    return FragmentExecutor(calc, mesh=mesh, polisher=polisher)
 
 
 @dataclass
@@ -344,12 +373,17 @@ def run_calculation(
     input_path: str = "input.mqc",
     write_json: bool = True,
     executor=None,
+    driver_overrides: Optional[dict] = None,
 ):
     """Run a parsed configuration. Returns {molecule_name or '': MoleculeOutput}.
 
-    Writes output_<base>.json (reference schema) unless disabled.
+    driver_overrides sets DriverConfig attributes not expressible in the
+    .mqc format (CLI precision/polish flags). Writes output_<base>.json
+    (reference schema) unless disabled.
     """
     drv = config_to_driver(cfg)
+    for key, val in (driver_overrides or {}).items():
+        setattr(drv, key, val)
     executor = executor or _make_executor(drv)
     systems = config_to_system_geometries(cfg)
 
@@ -386,9 +420,12 @@ def run_calculation(
     return outputs
 
 
-def run_file(path: str, write_json: bool = True):
+def run_file(path: str, write_json: bool = True, driver_overrides=None):
     cfg = read_mqc_file(path)
-    return run_calculation(cfg, input_path=path, write_json=write_json)
+    return run_calculation(
+        cfg, input_path=path, write_json=write_json,
+        driver_overrides=driver_overrides,
+    )
 
 
 # ---------------------------------------------------------------------------

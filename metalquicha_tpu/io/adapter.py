@@ -229,6 +229,12 @@ class DriverConfig:
     hessian: HessianKeywords = field(default_factory=HessianKeywords)
     skip_json_output: bool = False
     log_level: str = "info"
+    #: mixed-precision control: "auto" polishes f32-device results in f64
+    #: on the host CPU (methods/xtb/polish.py), "off" disables. Only
+    #: active when the working dtype is f32 (i.e. non-CPU backends).
+    host_polish: str = "auto"
+    #: pin the working dtype ("f32"/"f64"); None = by backend (factory)
+    force_dtype: Optional[str] = None
 
 
 def config_to_driver(cfg: MqcConfig) -> DriverConfig:

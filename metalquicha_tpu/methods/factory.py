@@ -35,8 +35,26 @@ def create_calculator(drv: DriverConfig):
             from .xtb.solvation import make_solvation_model
 
             solvation = make_solvation_model(xtb, variant)
+
+        # Working dtype is EXPLICIT, never inferred from the x64 flag:
+        # non-CPU backends run f32 (this TPU has no f64 linalg.solve; the
+        # f64 host polish restores accuracy — methods/xtb/polish.py), CPU
+        # runs f64. force_dtype pins it (CLI --f32 / tests).
+        import jax
+        import jax.numpy as jnp
+
+        fd = getattr(drv, "force_dtype", None)
+        if fd:
+            dtype = jnp.float32 if fd == "f32" else jnp.float64
+        else:
+            dtype = (
+                jnp.float64
+                if jax.default_backend() == "cpu"
+                else jnp.float32
+            )
         return XtbCalculator(
-            settings=settings, variant=variant, solvation=solvation
+            settings=settings, variant=variant, solvation=solvation,
+            dtype=dtype,
         )
     if mt == MethodType.HF:
         return HFMethod()

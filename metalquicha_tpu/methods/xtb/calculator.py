@@ -296,13 +296,15 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         )
         nsh = frag.sh_mask.shape[0]
         q_sh, mu_at, th_at = _aes_unpack(q_star, nsh, nat)
-        q_at = jnp.zeros(nat).at[frag.sh_atom].add(q_sh * frag.sh_mask)
+        q_at = jnp.zeros(nat, q_sh.dtype).at[frag.sh_atom].add(
+            q_sh * frag.sh_mask
+        )
         # dipole = sum q R + sum mu (reference formula,
         # mqc_method_xtb.f90:148: matmul(xyz, qat) + sum(dpat))
         dipole = ((frag.atom_mask * q_at)[:, None] * coords).sum(0) + (
             mu_at * frag.atom_mask[:, None]
         ).sum(0)
-        e_disp = jnp.zeros(())
+        e_disp = jnp.zeros((), coords.dtype)
     else:
         e_el, eps, f, entropy = electronic_energy(
             coords, q_star, frag, kt, settings, gamma_at
@@ -318,7 +320,9 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
             coords, cn, d3tab, frag.atom_mask,
             frag.glb[12], frag.glb[13], frag.glb[14], frag.glb[15],
         )
-        q_at = jnp.zeros(nat).at[frag.sh_atom].add(q_star * frag.sh_mask)
+        q_at = jnp.zeros(nat, q_star.dtype).at[frag.sh_atom].add(
+            q_star * frag.sh_mask
+        )
         dipole = ((frag.atom_mask * q_at)[:, None] * coords).sum(0)
     light_mask = ((frag.numbers > 0) & (frag.numbers <= 2)).astype(coords.dtype)
     e_rep = repulsion_energy(
@@ -334,7 +338,7 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     # halogen-bond correction — GFN1 only (tblite's GFN2 calculator has no
     # halogen container; settings.multipoles marks the GFN2 path)
     if settings.multipoles:
-        e_xb = jnp.zeros(())
+        e_xb = jnp.zeros((), coords.dtype)
     else:
         from .xbond import halogen_bond_energy
 

@@ -193,13 +193,16 @@ def repulsion_energy(coords, zeff, alpha, atom_mask, kexp, rexp,
                      light_mask=None, klight=None):
     """E_rep = sum_{A<B} ZA ZB / R^rexp * exp(-sqrt(aA aB) R^k_AB).
 
-    GFN1 uses a REDUCED distance exponent for pairs of light elements
-    (H/He): k_AB = klight (published 1.0) when both atoms have Z <= 2,
-    kexp (1.5) otherwise — the tblite repulsion "klight" rule. At geminal
-    H..H distances (~3.3 Bohr) the two forms differ by ~400x (2.6e-4 vs
+    BOTH published GFN parameterizations use a REDUCED distance exponent
+    for pairs of light elements (H/He): k_AB = klight (published 1.0) when
+    both atoms have Z <= 2, kexp (1.5) otherwise — the tblite repulsion
+    "klight" rule (GFN1: Grimme et al. JCTC 2017 eq. 9; GFN2: Bannwarth et
+    al. JCTC 2019 eq. 7, k_f = 1 for H/He pairs). At geminal H..H
+    distances (~3.3 Bohr) the two forms differ by ~400x (2.6e-4 vs
     5.5e-7 Ha per pair), which no smooth alpha/Zeff refit can mimic across
-    the whole distance range. klight=None keeps the uniform-kexp form
-    (GFN2: klight == kexp, so uniform is exact there).
+    the whole distance range. klight=None keeps the uniform-kexp form —
+    a TABLE-PAIRING flag, not physics: tables fitted under the uniform
+    form must keep it until refitted (globals.klight in the overlay).
 
     Coincident pairs (r ~ 0, e.g. stacked GMBE caps) are skipped, matching
     the tblite kernels' r ~ 0 guard."""

@@ -60,10 +60,16 @@ class FragmentExecutor:
                       per-fragment, truncated to each fragment's real size.
     """
 
-    def __init__(self, calculator: XtbCalculator = None, mesh=None):
+    def __init__(self, calculator: XtbCalculator = None, mesh=None,
+                 polisher=None):
         self.calc = calculator or XtbCalculator()
         self.mesh = mesh if mesh is not None else fragment_mesh()
         self.n_devices = int(np.prod([d for d in self.mesh.devices.shape]))
+        #: optional HostPolisher (methods/xtb/polish.py): when set, every
+        #: chunk's f32 device results are re-evaluated in f64 on the host
+        #: CPU from the device-converged charges, so assembled energies,
+        #: gradients and FD Hessians match the f64 parity path.
+        self.polisher = polisher
 
     def _buckets(self, fragments):
         groups = defaultdict(list)
@@ -145,6 +151,12 @@ class FragmentExecutor:
         else:
             e, aux = self.calc.energies(frag_data)
             g = None
+        if self.polisher is not None:
+            e, g_p, aux = self.polisher.polish(
+                tuples, pad_to, aux["shell_charges"], what
+            )
+            if what == "gradient":
+                g = np.asarray(g_p)
         e = np.asarray(e)
         dip = np.asarray(aux["dipole"])
         chg = np.asarray(aux["charges"])

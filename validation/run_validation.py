@@ -27,7 +27,13 @@ def main() -> int:
     ap.add_argument("--tol", type=float, default=None)
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--f32", action="store_true",
-                    help="run in float32 (the TPU production precision)")
+                    help="force the float32 device dtype (the TPU working "
+                         "precision; default: by backend — f64 on CPU)")
+    ap.add_argument("--polish", default="auto", choices=("auto", "off"),
+                    help="f64 host polish of f32 device results (auto = "
+                         "on whenever the device dtype is f32 and a cpu "
+                         "backend exists; off = raw device precision, the "
+                         "TPU_ACCURACY raw-f32 leg)")
     ap.add_argument("--json-out", default=None,
                     help="write per-case results/deltas to this JSON file")
     ap.add_argument("--skip-slow", action="store_true",
@@ -39,12 +45,18 @@ def main() -> int:
     from metalquicha_tpu.compile_cache import enable as _enable_cache
 
     _enable_cache()
-    jax.config.update("jax_platforms", args.platform)
-    if args.f32:
-        # TPU f32 matmuls default to bf16 passes and stall the SCC
-        jax.config.update("jax_default_matmul_precision", "highest")
-    else:
-        jax.config.update("jax_enable_x64", True)
+    plats = args.platform
+    # keep a host CPU backend next to any accelerator: the f64 polish of
+    # f32 device results runs there (methods/xtb/polish.py)
+    if args.polish == "auto" and "cpu" not in plats.split(","):
+        plats = plats + ",cpu"
+    jax.config.update("jax_platforms", plats)
+    # x64 is always on — the device working dtype is explicit (factory
+    # picks f32 on accelerators, f64 on CPU; --f32 pins it), so this only
+    # enables the host-side f64 math.
+    jax.config.update("jax_enable_x64", True)
+    # TPU f32 matmuls default to bf16 passes and stall the SCC (no-op CPU)
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from metalquicha_tpu.driver import run_calculation
     from metalquicha_tpu.io.config import parse_mqc_string
@@ -72,8 +84,12 @@ def main() -> int:
                 data = json.load(fh)
             mqc_text = emit_mqc(data, base_dir=os.path.dirname(json_path))
             cfg = parse_mqc_string(mqc_text)
+            overrides = {"host_polish": args.polish}
+            if args.f32:
+                overrides["force_dtype"] = "f32"
             outputs = run_calculation(cfg, input_path=test["input"],
-                                      write_json=False)
+                                      write_json=False,
+                                      driver_overrides=overrides)
         except Exception as exc:  # noqa: BLE001
             errored += 1
             rows.append((name, "ERROR", str(exc)[:80], time.time() - t0))
