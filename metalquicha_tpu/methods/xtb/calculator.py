@@ -81,9 +81,12 @@ class FragmentData(NamedTuple):
 
 
 def fragment_data_from_batch(
-    batch: XtbBatch, dtype=jnp.float64, solvation=None
+    batch: XtbBatch, dtype=jnp.float64, solvation=None, variant="gfn1"
 ) -> FragmentData:
     d3 = [build_d3_tables(batch.numbers[b]) for b in range(batch.n_fragments)]
+    # GFN2 keeps the pristine geometric-mean pair C6 table: the fitted
+    # pair grids are GFN1 state (see dispersion_d3.full_pair_table)
+    pair_table = full_pair_table(fitted=(variant != "gfn2"))
     if solvation is not None:
         solv = [solvation.host_tables(batch.numbers[b]) for b in range(batch.n_fragments)]
         solv_rvdw = np.stack([t["solv_rvdw"] for t in solv])
@@ -143,8 +146,8 @@ def fragment_data_from_batch(
         d3_sqrtc6=f(np.stack([t["sqrtc6"] for t in d3])),
         d3_c6_pair=f(
             np.broadcast_to(
-                full_pair_table()[None],
-                (batch.n_fragments,) + full_pair_table().shape,
+                pair_table[None],
+                (batch.n_fragments,) + pair_table.shape,
             ).copy()
         ),
         d3_r4r2=f(np.stack([t["r4r2"] for t in d3])),
@@ -449,7 +452,8 @@ class XtbCalculator:
     def make_batch(self, fragments, pad_to=None) -> FragmentData:
         batch = build_batch(fragments, variant=self.variant, pad_to=pad_to)
         return fragment_data_from_batch(
-            batch, dtype=self.dtype, solvation=self.solvation
+            batch, dtype=self.dtype, solvation=self.solvation,
+            variant=self.variant,
         )
 
     def energies(self, frag: FragmentData):

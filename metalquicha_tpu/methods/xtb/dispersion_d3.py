@@ -159,11 +159,18 @@ def _element_ref_arrays(z: int):
 
 
 @lru_cache(maxsize=None)
-def full_pair_table():
+def full_pair_table(fitted: bool = True):
     """(NZ, NZ, MAX_REFS, MAX_REFS) reference pair C6 table.
 
-    Geometric-mean seed from the diagonal values, overridden per pair by
-    fitted grids where available. Symmetric: T[i,j,a,b] == T[j,i,b,a]."""
+    Geometric-mean seed from the diagonal values; with fitted=True
+    (GFN1), overridden per pair by fitted grids where available.
+    fitted=False (GFN2) keeps the pure geometric-mean factorization:
+    the pair grids are refined against GFN1 validation energies, and
+    feeding them to GFN2's in-loop charge-scaled dispersion destabilized
+    its SCC (CH4 NaN, round 5) — GFN2 must not inherit GFN1 fit state.
+    (The DIAGONAL reference values remain shared module data; only the
+    cross-pair refinement is variant-split.)
+    Symmetric: T[i,j,a,b] == T[j,i,b,a]."""
     nz = len(D3_ELEMENTS)
     table = np.zeros((nz, nz, MAX_REFS, MAX_REFS))
     sqrt_diag = {}
@@ -173,6 +180,8 @@ def full_pair_table():
     for i, zi in enumerate(D3_ELEMENTS):
         for j, zj in enumerate(D3_ELEMENTS):
             table[i, j] = np.outer(sqrt_diag[zi], sqrt_diag[zj])
+    if not fitted:
+        return table
     for (zlo, zhi), grid in _PAIR_OVERRIDES.items():
         if zlo not in _Z_TO_IDX or zhi not in _Z_TO_IDX:
             continue

@@ -83,7 +83,9 @@ def theta_init(variant: str = "gfn1") -> dict:
         }
     # D3 reference PAIR C6 grids over the fitted elements (the dominant
     # parameter-table unknown: geometric-mean seeds refined by the fit).
-    full = full_pair_table()
+    # GFN2 thetas seed from the PRISTINE table — the fitted grids are
+    # GFN1 state (see dispersion_d3.full_pair_table).
+    full = full_pair_table(fitted=(variant != "gfn2"))
     gidx = np.array([_Z_TO_IDX[z] for z in FITTED_Z])
     theta["d3_pairs"] = jnp.asarray(
         full[np.ix_(gidx, gidx)], dtype=jnp.float64
@@ -334,7 +336,8 @@ class FragmentSpec:
         self.variant = variant
         self.base = fragment_data_from_batch(
             build_batch([(self.numbers, coords, charge, mult)],
-                        variant=variant, pad_to=pad_to)
+                        variant=variant, pad_to=pad_to),
+            variant=variant,
         )
         self.base = jax.tree.map(lambda x: x[0], self.base)
         params = _params_module(variant)
@@ -430,7 +433,10 @@ class FragmentSpec:
 
         pairs = theta["d3_pairs"]
         pairs = 0.5 * (pairs + jnp.transpose(pairs, (1, 0, 3, 2)))
-        table = jnp.asarray(full_pair_table(), dtype=pairs.dtype)
+        table = jnp.asarray(
+            full_pair_table(fitted=(self.variant != "gfn2")),
+            dtype=pairs.dtype,
+        )
         gidx = jnp.asarray([_Z_TO_IDX[z] for z in FITTED_Z])
         table = table.at[gidx[:, None], gidx[None, :]].set(pairs)
 

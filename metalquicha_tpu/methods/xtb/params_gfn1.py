@@ -588,6 +588,17 @@ def load_overlay(path: str) -> None:
         _batch.element_basis.cache_clear()
 
 
+# Pristine (pre-overlay) snapshots: params_gfn2 seeds its independent
+# tables from THESE, not the fit-overlaid rows — a GFN1 refit must never
+# leak into GFN2 physics (the refitted values are tuned for the GFN1
+# functional; inheriting them destabilized the GFN2 SCC for CH4 when the
+# round-5 tables landed).
+import copy as _copy
+
+PRISTINE_ELEMENTS = _copy.deepcopy(ELEMENTS)
+PRISTINE_ATOMIC_RADII_A = ATOMIC_RADII_A.copy()
+PRISTINE_COVALENT_RADII_A = COVALENT_RADII_A.copy()
+
 # Auto-load fitted parameter overlay if present (written by tools/fit_*.py).
 # MQC_NO_OVERLAY=1 skips it (raw published-base evaluation / refitting).
 import os as _os

@@ -24,11 +24,13 @@ from .params_gfn1 import (  # noqa: F401
 )
 from . import params_gfn1 as _g1
 
-#: independent copies so GFN2 calibration never mutates the GFN1 tables.
-#: Fields the GFN2 overlay does not carry must NOT leak from the (already
-#: overlaid) GFN1 table: reset per-element atomic offsets and AES params
-#: to their neutral defaults (the GFN2 calibration owns them separately).
-ELEMENTS: dict = copy.deepcopy(_g1.ELEMENTS)
+#: independent copies so GFN2 calibration never mutates — or inherits
+#: from — the GFN1 fit state: seeded from the PRISTINE (pre-overlay) GFN1
+#: tables, so a GFN1 refit cannot silently move GFN2 physics (refitted
+#: GFN1 rows destabilized the GFN2 SCC for CH4 in round 5). Per-element
+#: atomic offsets and AES params reset to their neutral defaults (the
+#: GFN2 calibration owns them separately, via data/gfn2_fitted.json).
+ELEMENTS: dict = copy.deepcopy(_g1.PRISTINE_ELEMENTS)
 for _rec_ in ELEMENTS.values():
     object.__setattr__(_rec_, "e0", 0.0)
     # GFN2 has no halogen-bond correction (tblite's new_gfn2_calculator
@@ -38,8 +40,8 @@ for _rec_ in ELEMENTS.values():
                      ("d4ga", 3.0), ("d4zref", 4.0)):
         object.__setattr__(_rec_, _k_, _v_)
 del _rec_
-ATOMIC_RADII_A = _g1.ATOMIC_RADII_A.copy()
-COVALENT_RADII_A = _g1.COVALENT_RADII_A.copy()
+ATOMIC_RADII_A = _g1.PRISTINE_ATOMIC_RADII_A.copy()
+COVALENT_RADII_A = _g1.PRISTINE_COVALENT_RADII_A.copy()
 
 GLOBALS = GlobalParams(
     multipoles=True,  # real GFN2: self-consistent AES + D4 charge scaling
