@@ -59,7 +59,8 @@ class EngineSettings(NamedTuple):
     kexp_rep: float = 1.5
     rexp_rep: float = 1.0
     #: reduced repulsion distance exponent for light-light (Z<=2) pairs —
-    #: the GFN1 klight rule (published 1.0). None = uniform kexp (GFN2).
+    #: the klight rule (published 1.0 for BOTH GFN1 and GFN2; Bannwarth et
+    #: al. JCTC 2019 eq. 7). None = uniform kexp (legacy overlay form).
     klight_rep: float = None
     gexp: float = 2.0
     kll: tuple = ((1.85, 2.08, 2.00), (2.08, 2.25, 2.00), (2.00, 2.00, 2.00))

@@ -54,6 +54,12 @@ GLOBALS = GlobalParams(
     kpol=2.00,       # CALIBRATE: GFN2 has no 2.85 diffuse-H special
     ken=0.02,        # CALIBRATE: GFN2 EN scaling differs from GFN1
     kexp=1.5,
+    # Published GFN2 uses the reduced light-pair repulsion exponent too
+    # (Bannwarth et al. JCTC 2019 eq. 7, k_f = 1 when both Z <= 2; the
+    # tblite repulsion container GFN1 inherits) — ADVICE r4: the earlier
+    # uniform-kexp claim was wrong. The w1 calibration and the GFN2
+    # fixtures are regenerated under this form (tools/fit_gfn2_w1.py).
+    klight=1.0,
     rexp=1.0,
     gexp=2.0,
     disp_s6=1.0,

@@ -157,7 +157,21 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(HERE, "fitted_gfn2.json"))
     ap.add_argument("--seed-from", default=None,
                     help="start from a fitted GFN1 json (usually closer)")
+    ap.add_argument("--prior", type=float, default=3e-3,
+                    help="anchoring weight on relative parameter moves "
+                         "from the seed. The w1 case has 8 observables "
+                         "against dozens of parameters; unanchored, the "
+                         "optimizer wanders to tables that nail w1 but "
+                         "destabilize the SCC on molecules it never saw "
+                         "(round 5: water-dimer NaN after the klight "
+                         "recalibration). 0 disables.")
+    ap.add_argument("--whess", type=float, default=W["hess_norm"],
+                    help="hess_norm residual weight (0.3 left the r5kl "
+                         "fit at a 5.7e-6 hess_norm floor dominated by "
+                         "the prior terms; boost when polishing from an "
+                         "already-good seed).")
     args = ap.parse_args()
+    W["hess_norm"] = args.whess
 
     theta0 = theta_init("gfn2")
     if args.seed_from:
@@ -174,8 +188,15 @@ def main() -> int:
 
     from scipy.optimize import least_squares
 
+    # prior anchoring: relative move from the seed, so levels (~0.5 Ha),
+    # slater (~1-2) and zeff (~1-8) are penalized comparably
+    x_scale0 = np.maximum(np.abs(x0), 0.1)
+
     def f(x):
-        return residuals(observe(unpack(x, meta, theta0)))
+        r = residuals(observe(unpack(x, meta, theta0)))
+        if args.prior > 0:
+            r = np.concatenate([r, args.prior * (x - x0) / x_scale0])
+        return r
 
     res = least_squares(
         f, x0, method="lm" if len(x0) <= 8 else "trf",
