@@ -105,7 +105,11 @@ def main() -> int:
             loose.append((name, float(resid[k])))
         fixtures[name] = {
             "numbers": [int(v) for v in z],
-            "bond_angstrom": round(float(r_a), 10),
+            # exact double (json roundtrips floats exactly): the fitted
+            # C6 grids have large extrapolation-corner entries whose
+            # CN-interpolation weights amplify even a 1e-10 A geometry
+            # round-off into ~1e-7 Ha on C/N diatomics
+            "bond_angstrom": float(r_a),
             "multiplicity": int(mult),
             "energy_ha": float(e[k]),
             "charges": charges[k][:2].tolist(),
