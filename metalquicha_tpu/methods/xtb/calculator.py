@@ -83,10 +83,15 @@ class FragmentData(NamedTuple):
 def fragment_data_from_batch(
     batch: XtbBatch, dtype=jnp.float64, solvation=None, variant="gfn1"
 ) -> FragmentData:
-    d3 = [build_d3_tables(batch.numbers[b]) for b in range(batch.n_fragments)]
-    # GFN2 keeps the pristine geometric-mean pair C6 table: the fitted
-    # pair grids are GFN1 state (see dispersion_d3.full_pair_table)
-    pair_table = full_pair_table(fitted=(variant != "gfn2"))
+    # GFN2 keeps the pristine dispersion state (diagonal C6, r4r2, and the
+    # geometric-mean pair C6 table): the fitted values are GFN1 state
+    # (see dispersion_d3.full_pair_table / build_d3_tables)
+    _fitted = variant != "gfn2"
+    d3 = [
+        build_d3_tables(batch.numbers[b], fitted=_fitted)
+        for b in range(batch.n_fragments)
+    ]
+    pair_table = full_pair_table(fitted=_fitted)
     if solvation is not None:
         solv = [solvation.host_tables(batch.numbers[b]) for b in range(batch.n_fragments)]
         solv_rvdw = np.stack([t["solv_rvdw"] for t in solv])

@@ -116,6 +116,14 @@ for _z, _refs in _EXT_C6.items():
 R4R2.update({_z: _v for _z, _v in _EXT_R4R2.items() if _z not in R4R2})
 del _z
 
+# Pristine (pre-overlay) snapshots. params_gfn1.load_overlay mutates
+# REF_C6_DIAG / R4R2 in place with GFN1-fitted values; the GFN2 path reads
+# THESE instead (fitted=False below) so a GFN1 refit can never move GFN2
+# dispersion. Round 5: a GFN1 stage fit shifted GFN2 CH4 by 8e-4 Ha
+# through the shared carbon diagonal before this split existed.
+PRISTINE_REF_C6_DIAG = {z: list(v) for z, v in REF_C6_DIAG.items()}
+PRISTINE_R4R2 = dict(R4R2)
+
 K1 = 16.0  # CN counting steepness
 K3 = 4.0   # gaussian weighting exponent
 
@@ -145,11 +153,11 @@ def invalidate_caches() -> None:
 
 
 @lru_cache(maxsize=None)
-def _element_ref_arrays(z: int):
+def _element_ref_arrays(z: int, fitted: bool = True):
     cns = REF_CN.get(z)
     if cns is None:
         raise NotImplementedError(f"D3 reference data for Z={z} not tabulated")
-    c6 = REF_C6_DIAG[z]
+    c6 = (REF_C6_DIAG if fitted else PRISTINE_REF_C6_DIAG)[z]
     n = len(cns)
     cn_pad = np.full(MAX_REFS, 1.0e6)  # huge CN -> zero weight
     c6_pad = np.zeros(MAX_REFS)
@@ -175,7 +183,7 @@ def full_pair_table(fitted: bool = True):
     table = np.zeros((nz, nz, MAX_REFS, MAX_REFS))
     sqrt_diag = {}
     for z in D3_ELEMENTS:
-        _cn, c6, n = _element_ref_arrays(z)
+        _cn, c6, n = _element_ref_arrays(z, fitted)
         sqrt_diag[z] = np.sqrt(c6)
     for i, zi in enumerate(D3_ELEMENTS):
         for j, zj in enumerate(D3_ELEMENTS):
@@ -192,14 +200,16 @@ def full_pair_table(fitted: bool = True):
     return table
 
 
-def build_d3_tables(numbers: np.ndarray):
+def build_d3_tables(numbers: np.ndarray, fitted: bool = True):
     """Host-side per-atom D3 data for a (padded) fragment.
 
     Returns dict of arrays: ref_cn (nat, R), zidx (nat,) index into
     D3_ELEMENTS (-1 for extended elements outside the core pair table),
     sqrtc6 (nat, R) sqrt of the diagonal reference C6 (the geometric-mean
     fallback factor), r4r2 (nat,). Padded atoms (z=0) get zero tables and
-    zidx=0 (masked downstream by atom_mask and their huge ref_cn)."""
+    zidx=0 (masked downstream by atom_mask and their huge ref_cn).
+    fitted=False (GFN2) reads the pristine diagonal C6 / r4r2 snapshots —
+    GFN1 overlay state must not leak into GFN2 dispersion."""
     nat = len(numbers)
     ref_cn = np.full((nat, MAX_REFS), 1.0e6)
     zidx = np.zeros(nat, dtype=np.int64)
@@ -209,11 +219,11 @@ def build_d3_tables(numbers: np.ndarray):
         z = int(z)
         if z == 0:
             continue
-        cn_pad, c6_pad, _n = _element_ref_arrays(z)
+        cn_pad, c6_pad, _n = _element_ref_arrays(z, fitted)
         ref_cn[i] = cn_pad
         zidx[i] = _Z_TO_IDX.get(z, -1)
         sqrtc6[i] = np.sqrt(np.maximum(c6_pad, 0.0))
-        r4r2[i] = R4R2[z]
+        r4r2[i] = (R4R2 if fitted else PRISTINE_R4R2)[z]
     return {"ref_cn": ref_cn, "zidx": zidx, "sqrtc6": sqrtc6, "r4r2": r4r2}
 
 

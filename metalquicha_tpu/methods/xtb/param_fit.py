@@ -54,8 +54,13 @@ def theta_init(variant: str = "gfn1") -> dict:
     """
     from ...constants import BOHR_TO_ANGSTROM
     from .batch import element_basis
-    from .dispersion_d3 import _Z_TO_IDX, R4R2, full_pair_table
+    from .dispersion_d3 import (
+        _Z_TO_IDX, PRISTINE_R4R2, R4R2, full_pair_table,
+    )
 
+    # GFN2 thetas seed from the pristine dispersion state — the overlaid
+    # values are GFN1 fit state (see dispersion_d3.build_d3_tables).
+    r4r2_src = R4R2 if variant != "gfn2" else PRISTINE_R4R2
     params = _params_module(variant)
     theta = {"elements": {}}
     for z in FITTED_Z:
@@ -79,7 +84,7 @@ def theta_init(variant: str = "gfn1") -> dict:
                  getattr(rec, "d4zref", 4.0)], dtype=jnp.float64),
             "rad": jnp.asarray(eb.rad_bohr, dtype=jnp.float64),
             "rcov": jnp.asarray(eb.rcov_bohr, dtype=jnp.float64),
-            "r4r2": jnp.asarray(R4R2[z], dtype=jnp.float64),
+            "r4r2": jnp.asarray(r4r2_src[z], dtype=jnp.float64),
         }
     # D3 reference PAIR C6 grids over the fitted elements (the dominant
     # parameter-table unknown: geometric-mean seeds refined by the fit).
@@ -122,11 +127,13 @@ def theta_to_tables(theta: dict, variant: str = "gfn1") -> None:
             params.ATOMIC_RADII_A[z] = float(el["rad"]) * BOHR_TO_ANGSTROM
         if "rcov" in el:
             params.COVALENT_RADII_A[z] = float(el["rcov"]) * BOHR_TO_ANGSTROM
-        if "r4r2" in el:
+        if "r4r2" in el and variant != "gfn2":
+            # the shared R4R2 / pair-override tables are GFN1 state; a GFN2
+            # fit must not clobber them (GFN2 reads the pristine snapshots)
             dispersion_d3.R4R2[z] = float(el["r4r2"])
         if "en" in el:
             object.__setattr__(params.ELEMENTS[z], "en", float(el["en"]))
-    if "d3_pairs" in theta:
+    if "d3_pairs" in theta and variant != "gfn2":
         pairs = np.asarray(theta["d3_pairs"])
         pairs = 0.5 * (pairs + pairs.transpose(1, 0, 3, 2))
         overlay = {}
