@@ -272,7 +272,7 @@ def d3_energy(
     (the D4-style charge scaling zeta_A zeta_B for GFN2)."""
     nat = coords.shape[0]
     diff = coords[:, None, :] - coords[None, :, :]
-    r2 = (diff**2).sum(-1) + jnp.eye(nat)
+    r2 = (diff**2).sum(-1) + jnp.eye(nat, dtype=diff.dtype)
     r6 = r2**3
     r8 = r2**4
 
@@ -295,6 +295,8 @@ def d3_energy(
     damp = a1 * r0 + a2
     e = s6 * c6 / (r6 + damp**6) + s8 * c8 / (r8 + damp**8)
 
-    pair_mask = atom_mask[:, None] * atom_mask[None, :] * (1.0 - jnp.eye(nat))
+    pair_mask = atom_mask[:, None] * atom_mask[None, :] * (
+        1.0 - jnp.eye(nat, dtype=atom_mask.dtype)
+    )
     pair_mask = pair_mask * (r2 > 1e-10)  # skip coincident pairs (GMBE caps)
     return -0.5 * (e * pair_mask).sum()

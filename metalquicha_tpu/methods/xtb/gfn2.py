@@ -49,8 +49,8 @@ def camm_moments(P, S, D, Q, ao_atom, nat):
     PQ = P[None] * Q            # (6, nao, nao)
     contr_d = PD.sum(axis=2)    # (3, nao) sum over lambda
     contr_q = PQ.sum(axis=2)
-    mu = -jnp.zeros((nat, 3)).at[ao_atom].add(contr_d.T)
-    th = -jnp.zeros((nat, 6)).at[ao_atom].add(contr_q.T)
+    mu = -jnp.zeros((nat, 3), dtype=P.dtype).at[ao_atom].add(contr_d.T)
+    th = -jnp.zeros((nat, 6), dtype=P.dtype).at[ao_atom].add(contr_q.T)
     # traceless quadrupole: subtract tr/3 from diagonal components
     tr = (th[:, 0] + th[:, 1] + th[:, 2]) / 3.0
     th = th.at[:, 0].add(-tr).at[:, 1].add(-tr).at[:, 2].add(-tr)
@@ -122,7 +122,10 @@ def aes_energy(coords, q_at, mu, theta, at_mrad, at_dkernel, at_qkernel,
     # on-site penalties keep the moments bounded (GFN2 self-interaction)
     e_self = (
         at_dkernel * (mu**2).sum(-1)
-        + at_qkernel * (theta**2 * jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0])).sum(-1)
+        + at_qkernel * (
+            theta**2
+            * jnp.asarray([1.0, 1.0, 1.0, 2.0, 2.0, 2.0], dtype=theta.dtype)
+        ).sum(-1)
     )
     e_self = (e_self * atom_mask).sum()
     return e_pair + e_self

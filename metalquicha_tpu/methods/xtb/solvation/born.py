@@ -186,7 +186,7 @@ class BornSolvation:
         )
         signed = d_at - rs[None, None, :]
         sw = 1.0 / (1.0 + jnp.exp(-signed / SASA_SWITCH))
-        not_self = 1.0 - jnp.eye(nat)[:, None, :]
+        not_self = 1.0 - jnp.eye(nat, dtype=coords.dtype)[:, None, :]
         sw = jnp.where(
             (not_self > 0.5) & (atom_mask[None, None, :] > 0.5), sw, 1.0
         )
@@ -203,7 +203,7 @@ class BornSolvation:
         rho = jnp.where(rvdw > 0, rvdw, 1.0)
         rho_t = rho - rho_offset
         diff = coords[:, None, :] - coords[None, :, :]
-        r = jnp.sqrt((diff**2).sum(-1) + jnp.eye(nat))
+        r = jnp.sqrt((diff**2).sum(-1) + jnp.eye(nat, dtype=coords.dtype))
 
         sj = (sx * rvdw)[None, :]
         L = jnp.maximum(jnp.abs(r - sj), rho_t[:, None])
@@ -218,7 +218,9 @@ class BornSolvation:
         )
         omega = 0.5 * inner
         omega = jnp.where(rho_t[:, None] >= U, 0.0, omega)
-        pair_mask = atom_mask[:, None] * atom_mask[None, :] * (1.0 - jnp.eye(nat))
+        pair_mask = atom_mask[:, None] * atom_mask[None, :] * (
+            1.0 - jnp.eye(nat, dtype=coords.dtype)
+        )
         psi_sum = (omega * pair_mask).sum(-1)
 
         psi = rho_t * psi_sum

@@ -83,7 +83,7 @@ class CpcmSolvation:
         )  # (nat, nang, nat)
         signed = d_at - radii[None, None, :]
         sw = 1.0 / (1.0 + jnp.exp(-signed / SWITCH_WIDTH))
-        not_self = 1.0 - jnp.eye(nat)[:, None, :]
+        not_self = 1.0 - jnp.eye(nat, dtype=coords.dtype)[:, None, :]
         sw = jnp.where(
             (not_self > 0.5) & (atom_mask[None, None, :] > 0.5), sw, 1.0
         )
@@ -95,12 +95,12 @@ class CpcmSolvation:
         npts = nat * nang
         dpp = jnp.linalg.norm(
             pts_flat[:, None, :] - pts_flat[None, :, :], axis=-1
-        ) + jnp.eye(npts)
+        ) + jnp.eye(npts, dtype=coords.dtype)
         A = 1.0 / dpp
         a_kk = zeta * jnp.sqrt(
             4.0 * jnp.pi / jnp.maximum(area_flat, 1e-8)
         )
-        A = A * (1.0 - jnp.eye(npts)) + jnp.diag(a_kk)
+        A = A * (1.0 - jnp.eye(npts, dtype=coords.dtype)) + jnp.diag(a_kk)
 
         # B matrix: points x atoms
         dpa = jnp.linalg.norm(

@@ -39,11 +39,19 @@ REPO = os.path.dirname(HERE)
 VAL = os.path.join(REPO, "validation", "run_validation.py")
 
 
-def _run(out: str, skip_slow: bool, *flags: str) -> None:
+def _run(out: str, skip_slow: bool, *flags: str, check: bool = True) -> None:
     cmd = [sys.executable, VAL, "--json-out", out, *flags]
     if skip_slow:
         cmd.append("--skip-slow")
-    subprocess.run(cmd, check=True, env=dict(os.environ), cwd=REPO)
+    # check=False legs (the raw-f32 envelope) are EXPECTED to fail cases —
+    # the runner exits nonzero then, but still writes the JSON we consume.
+    proc = subprocess.run(cmd, check=False, env=dict(os.environ), cwd=REPO)
+    if check and proc.returncode != 0:
+        raise SystemExit(
+            f"validation leg {flags} failed (rc={proc.returncode})"
+        )
+    if not os.path.exists(out):
+        raise SystemExit(f"validation leg {flags} wrote no JSON ({out})")
 
 
 def _values(case: dict) -> dict:
@@ -112,7 +120,7 @@ def main() -> int:
         _run(cpu_json, args.skip_slow, "--platform", "cpu")
     if args.raw_json is None:
         _run(raw_json, args.skip_slow,
-             "--platform", "axon", "--f32", "--polish", "off")
+             "--platform", "axon", "--f32", "--polish", "off", check=False)
     if args.prod_json is None:
         _run(prod_json, args.skip_slow, "--platform", "axon")
 
