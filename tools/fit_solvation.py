@@ -174,6 +174,11 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=40)
     ap.add_argument("--nang", type=int, default=230)
     ap.add_argument("--out", default=os.path.join(HERE, "fitted_solv.json"))
+    ap.add_argument("--diff-step", type=float, default=0.02,
+                    help="relative FD step for the Jacobian")
+    ap.add_argument("--tol", type=float, default=1e-8,
+                    help="ftol/xtol/gtol for least_squares (tighten to "
+                         "polish past the default 1e-8 stopping point)")
     args = ap.parse_args()
 
     energies = build_eval()
@@ -199,8 +204,9 @@ def main() -> int:
     from scipy.optimize import least_squares
 
     res = least_squares(
-        f, X0, bounds=(LB, UB), diff_step=0.02, max_nfev=args.iters * 9,
-        verbose=2, x_scale="jac",
+        f, X0, bounds=(LB, UB), diff_step=args.diff_step,
+        max_nfev=args.iters * 9, verbose=2, x_scale="jac",
+        ftol=args.tol, xtol=args.tol, gtol=args.tol,
     )
     print("final residuals:", f(res.x))
     names = NAMES
