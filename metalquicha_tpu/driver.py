@@ -98,7 +98,17 @@ def _make_executor(drv: DriverConfig):
                 " no host CPU backend for the f64 polish; results are "
                 "raw f32"
             )
-    return FragmentExecutor(calc, mesh=mesh, polisher=polisher)
+    # rescue gate == the driver's own convergence gate
+    # (_check_scf_convergence): any fragment that would hard-error the run
+    # is first re-solved in f64 on the host.
+    rescue_tol = (
+        max(10.0 * drv.method.scf.tolerance, 1e-8)
+        if polisher is not None
+        else None
+    )
+    return FragmentExecutor(
+        calc, mesh=mesh, polisher=polisher, rescue_tol=rescue_tol
+    )
 
 
 @dataclass

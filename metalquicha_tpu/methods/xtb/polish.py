@@ -101,6 +101,37 @@ class HostPolisher:
         self._jits[key] = fn
         return fn
 
+    def rescue(self, tuples, pad_to, what: str):
+        """FULL f64 host SCC for fragments whose f32 device SCC failed.
+
+        The polish's k damped refinements assume a CONVERGED f32 starting
+        point; a diverged device SCC (slow-contracting fragments — GMBE
+        coincident-cap intersections, highly charged clusters — can
+        oscillate in f32) hands it garbage charges. Those fragments are
+        re-solved from scratch in f64 on the host with the full iteration
+        budget, exactly like the CPU parity path. The batch is padded to a
+        fixed quantum so repeated rescues of 1-2 stragglers reuse one
+        compiled program per bucket shape.
+        """
+        RESCUE_PAD = 8
+        dummy = (np.array([1]), np.zeros((1, 3)), 0, 2)
+        n_real = len(tuples)
+        tuples = list(tuples) + [dummy] * ((-n_real) % RESCUE_PAD)
+        frag = self.calc64.make_batch(tuples, pad_to=pad_to)
+        frag = jax.device_put(frag, self.cpu)
+        if what == "gradient":
+            e, g, aux = self.calc64.gradients(frag)
+        else:
+            e, aux = self.calc64.energies(frag)
+            g = None
+        e = np.asarray(e)[:n_real]
+        g = np.asarray(g)[:n_real] if g is not None else None
+        aux = {
+            k: np.asarray(v)[:n_real]
+            for k, v in aux.items()
+        }
+        return e, g, aux
+
     def polish(self, tuples, pad_to, shell_charges, what: str):
         """Polished (energies[, gradients], aux) for one padded chunk.
 

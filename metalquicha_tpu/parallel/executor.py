@@ -61,7 +61,7 @@ class FragmentExecutor:
     """
 
     def __init__(self, calculator: XtbCalculator = None, mesh=None,
-                 polisher=None):
+                 polisher=None, rescue_tol=None):
         self.calc = calculator or XtbCalculator()
         self.mesh = mesh if mesh is not None else fragment_mesh()
         self.n_devices = int(np.prod([d for d in self.mesh.devices.shape]))
@@ -70,6 +70,22 @@ class FragmentExecutor:
         #: CPU from the device-converged charges, so assembled energies,
         #: gradients and FD Hessians match the f64 parity path.
         self.polisher = polisher
+        #: residual threshold above which a fragment's f32 device SCC is
+        #: considered failed and re-solved from scratch in f64 on the host
+        #: (polisher.rescue). None disables; the driver sets it to its own
+        #: convergence gate so no fragment the rescue could save errors out.
+        self.rescue_tol = rescue_tol
+        # axon-TPU batch-shape guard: dispatches whose leading batch dim
+        # falls in a narrow size window crash the TPU worker outright
+        # (measured on v5e: B in [532, ~548] at nao_pad=16 dies — e.g. the
+        # prism FD-Hessian sweep's 540 dimer displacements — while 512,
+        # 528, 560, 640, 768, 896 and 1024 are all fine). Quantizing any
+        # batch > 512 up to a multiple of 128 hops over such windows and
+        # keeps the set of compiled batch shapes small. CPU is unaffected.
+        self._batch_quantum = (
+            128 if jax.default_backend() != "cpu" else 0
+        )
+        self._quantize_above = 512
 
     def _buckets(self, fragments):
         groups = defaultdict(list)
@@ -137,9 +153,16 @@ class FragmentExecutor:
     def _run_chunk(self, members, pad_to, what, energies, gradients, aux_out):
         idxs = [i for i, _ in members]
         tuples = [t for _, t in members]
-        # pad the batch to a device-count multiple with dummy fragments
+        # pad the batch to a device-count multiple with dummy fragments;
+        # above 512, also to a multiple of 128 (TPU batch-window guard —
+        # see __init__)
         n_real = len(tuples)
-        rem = (-n_real) % self.n_devices
+        quantum = self.n_devices
+        if self._batch_quantum and n_real > self._quantize_above:
+            import math
+
+            quantum = math.lcm(self._batch_quantum, self.n_devices)
+        rem = (-n_real) % quantum
         tuples = tuples + [_DUMMY] * rem
 
         frag_data = self.calc.make_batch(tuples, pad_to=pad_to)
@@ -161,6 +184,36 @@ class FragmentExecutor:
         dip = np.asarray(aux["dipole"])
         chg = np.asarray(aux["charges"])
         res = np.asarray(aux["scf_residual"])
+
+        # f64 host rescue: fragments whose f32 device SCC failed to reach
+        # the driver's convergence gate (slow-contracting GMBE coincident-
+        # cap terms, charged clusters) are re-solved from scratch in f64 on
+        # the host instead of hard-erroring the whole run. The CPU parity
+        # path (f64 device SCC) never triggers this.
+        if self.polisher is not None and self.rescue_tol is not None:
+            bad = [s for s in range(len(idxs)) if res[s] > self.rescue_tol]
+            if bad:
+                from ..logging_ import global_logger as logger
+
+                logger.info(
+                    f"  f64 host rescue: {len(bad)} fragment(s) with f32 "
+                    f"SCC residual > {self.rescue_tol:.1e}"
+                )
+                e_r, g_r, aux_r = self.polisher.rescue(
+                    [tuples[s] for s in bad], pad_to, what
+                )
+                e, dip, chg, res = (
+                    np.array(e), np.array(dip), np.array(chg), np.array(res)
+                )
+                if g is not None:
+                    g = np.array(g)
+                for j, s in enumerate(bad):
+                    e[s] = e_r[j]
+                    dip[s] = aux_r["dipole"][j]
+                    chg[s] = aux_r["charges"][j]
+                    res[s] = aux_r["scf_residual"][j]
+                    if g is not None:
+                        g[s] = g_r[j]
 
         for slot, i in enumerate(idxs):
             n_at = len(tuples[slot][0])

@@ -62,3 +62,66 @@ def test_polished_hessian_matches_f64():
         f_ref = np.sort(np.asarray(ref.vibrational.frequencies))[-3:]
         f_pol = np.sort(np.asarray(pol.vibrational.frequencies))[-3:]
         assert np.abs(f_pol - f_ref).max() < 0.1  # cm^-1
+
+
+def _water_frags(n):
+    from metalquicha_tpu.constants import ANGSTROM_TO_BOHR
+
+    w = np.array(
+        [[0.0, 0.0, 0.117], [0.0, 0.757, -0.471], [0.0, -0.757, -0.471]]
+    ) * ANGSTROM_TO_BOHR
+    rng = np.random.default_rng(7)
+    return [
+        (np.array([8, 1, 1]),
+         w + rng.normal(0, 0.05, (1, 3)) + np.array([[6.0 * i, 0, 0]]),
+         0, 1)
+        for i in range(n)
+    ]
+
+
+def test_rescue_resolves_unconverged_f32_fragments():
+    """rescue_tol: fragments whose f32 SCC misses the gate are re-solved
+    in full f64 on the host (executor._run_chunk -> HostPolisher.rescue).
+
+    An impossibly tight gate forces EVERY fragment down the rescue path,
+    so the executor's output must equal the all-f64 calculator's exactly
+    (rescue IS the f64 path)."""
+    import jax.numpy as jnp
+
+    from metalquicha_tpu.methods.xtb.calculator import XtbCalculator
+    from metalquicha_tpu.methods.xtb.polish import HostPolisher
+    from metalquicha_tpu.parallel.executor import FragmentExecutor
+
+    frags = _water_frags(3)
+    calc32 = XtbCalculator(dtype=jnp.float32)
+    ex = FragmentExecutor(
+        calc32, polisher=HostPolisher(calc32), rescue_tol=1e-30
+    )
+    e, g, aux = ex.run(frags, what="gradient")
+
+    calc64 = XtbCalculator(dtype=jnp.float64)
+    ex64 = FragmentExecutor(calc64)
+    e64, g64, _ = ex64.run(frags, what="gradient")
+
+    assert np.abs(np.asarray(e) - np.asarray(e64)).max() < 1e-12
+    for a, b in zip(g, g64):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-12
+    # the rescue reports the f64 residuals it actually converged to
+    assert float(np.abs(aux["scf_residual"]).max()) < 1e-8
+
+
+def test_batch_quantization_padding_is_invisible():
+    """The TPU batch-window guard pads chunks with dummy fragments up to a
+    quantum multiple; results must be identical with and without it."""
+    from metalquicha_tpu.parallel.executor import FragmentExecutor
+
+    frags = _water_frags(5)
+    ex = FragmentExecutor()
+    e_plain, _ = ex.run(frags, what="energy")
+
+    ex_q = FragmentExecutor()
+    ex_q._batch_quantum = 4          # force the guard on (CPU default: off)
+    ex_q._quantize_above = 2         # and trigger it at this tiny batch
+    e_quant, _ = ex_q.run(frags, what="energy")
+
+    np.testing.assert_allclose(e_quant, e_plain, rtol=0, atol=1e-13)
