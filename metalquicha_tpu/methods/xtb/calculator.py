@@ -239,11 +239,13 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     (needed for exact SECOND derivatives such as d|grad|/d(theta); first
     derivatives are already exact through the variational functional).
 
-    q_init (non-multipole path only): skip the SCC solve and refine the
-    supplied shell charges with max(diff_scf_iters, 2) fixed-point steps
-    instead — the warm-start entry for mixed-precision workflows (f32 TPU
-    SCC, f64 host polish; tools/hybrid_energy.py) and for sequential
-    geometries (AIMD/FD sweeps). The reported scf_residual is the true
+    q_init: skip the SCC solve and refine the supplied state with
+    max(diff_scf_iters, 2) fixed-point steps instead — the warm-start
+    entry for mixed-precision workflows (f32 TPU SCC, f64 host polish;
+    tools/hybrid_energy.py) and for sequential geometries (AIMD/FD
+    sweeps). GFN1: the shell-charge vector; GFN2: the packed AES state
+    (shell charges + atomic dipoles/quadrupoles, i.e. the engine's own
+    aux["shell_charges"]). The reported scf_residual is the true
     post-refine fixed-point residual.
 
     Returns (energy, aux) with aux = {charges, scf_residual, dipole}.
@@ -253,14 +255,46 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         q_star, resid = _converge_charges(coords, frag, kt, settings,
                                           solvation)
     else:
-        if settings.multipoles:
-            raise NotImplementedError(
-                "q_init warm starts support the GFN1 (non-multipole) path"
-            )
         q_star, resid = None, None
 
     gamma_at = _solv_gamma(coords, frag, solvation)
-    if (diff_scf_iters or q_init is not None) and not settings.multipoles:
+    if (diff_scf_iters or q_init is not None) and settings.multipoles:
+        # GFN2: refine the packed AES state (shell charges + atomic
+        # dipoles/quadrupoles) — the warm-start entry for the f64 host
+        # polish of f32 device results
+        from .engine import scf_refine_multipole
+        from .multipole import moment_matrices
+
+        S = overlap_matrix(
+            coords, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha,
+            frag.prim_coeff,
+        )
+        _S_mm, D, Q = moment_matrices(
+            coords, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha,
+            frag.prim_coeff,
+        )
+        cn = coordination_numbers(
+            coords, frag.at_rcov, frag.atom_mask, frag.glb[11],
+            settings.cn_type,
+        )
+        H0 = h0_matrix(S, coords, frag, cn, settings)
+        gamma = gamma_matrix(coords, frag, settings)
+        cn_d3 = coordination_numbers(
+            coords, frag.at_rcov, frag.atom_mask, frag.glb[11],
+            settings.cn_type_d3,
+        )
+        mp = _mp_tables(frag, cn_d3)
+        mp["D"], mp["Q"] = D, Q
+        args = (H0, S, coords, gamma, frag, kt, settings, gamma_at, mp)
+        if q_init is not None:
+            z_prev = scf_refine_multipole(
+                *args, q_init, max(diff_scf_iters, 2) - 1
+            )
+            q_star = scf_refine_multipole(*args, z_prev, 1)
+            resid = jnp.abs(q_star - z_prev).max()
+        else:
+            q_star = scf_refine_multipole(*args, q_star, diff_scf_iters)
+    elif diff_scf_iters or q_init is not None:
         S = overlap_matrix(
             coords, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha,
             frag.prim_coeff,

@@ -866,6 +866,39 @@ def scf_refine(H0, S, gamma, batch, kt, settings: EngineSettings, q0,
     return q
 
 
+def scf_refine_multipole(H0, S, coords, gamma, batch, kt,
+                         settings: EngineSettings, gamma_at, mp, z0,
+                         n_iter: int):
+    """Differentiable damped refinement of the packed AES state (GFN2).
+
+    The multipole analog of scf_refine: plain damped fixed-point steps on
+    the packed (shell charges, atomic dipoles, quadrupoles) vector from a
+    (near-)converged warm start, fully traced — the warm-start entry the
+    f64 host polish uses on the GFN2 path (methods/xtb/polish.py).
+    """
+    L = _ortho_factors(S)
+    beta = settings.mixer_damping
+
+    def fixed_point(z):
+        F, _ = _aes_fock(H0, S, z, coords, gamma, batch, settings,
+                         gamma_at, mp)
+        eps, C = _general_eigh(F, L)
+        f, _ = occupations(
+            eps, batch.nelec, batch.nuhf, kt, batch.ao_mask,
+            settings.fixed_occupations,
+        )
+        f = jax.lax.stop_gradient(f)  # exact for gapped systems
+        P = (C * f[None, :]) @ C.T
+        q, mu, th = _aes_moments_of_P(P, S, batch, mp)
+        return _aes_pack(q, mu, th)
+
+    def step(z, _):
+        return z + beta * (fixed_point(z) - z), None
+
+    z, _ = jax.lax.scan(step, z0, None, length=n_iter)
+    return z
+
+
 def electronic_energy(
     coords, q_star, batch, kt, settings: EngineSettings, gamma_at=None
 ):

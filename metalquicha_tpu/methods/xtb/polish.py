@@ -68,9 +68,9 @@ class HostPolisher:
         self._jits = {}
 
     def supports(self) -> bool:
-        # the q_init warm-start path covers the GFN1 (non-multipole)
-        # functional; GFN2/AES state refinement is not wired yet
-        return not self.calc64.settings.multipoles
+        # GFN1 refines the shell-charge vector; GFN2 refines the packed
+        # AES state (engine.scf_refine_multipole) — both wired
+        return True
 
     def _fn(self, what: str):
         key = what

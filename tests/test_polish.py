@@ -41,6 +41,25 @@ def test_polished_f32_matches_f64(what):
         assert np.abs(g_pol - g_ref).max() < 1e-8
 
 
+def test_polished_f32_matches_f64_gfn2():
+    """GFN2: the polish refines the packed AES state (shell charges +
+    atomic dipoles/quadrupoles) via engine.scf_refine_multipole."""
+    mqc = TWO_WATERS_MQC.format(driver="Gradient").replace(
+        "XTB-GFN1", "XTB-GFN2"
+    )
+    cfg = parse_mqc_string(mqc)
+    ref = run_calculation(
+        cfg, write_json=False, driver_overrides={"force_dtype": "f64"}
+    )[""]
+    pol = run_calculation(
+        cfg, write_json=False, driver_overrides={"force_dtype": "f32"}
+    )[""]
+    assert abs(pol.result.total_energy - ref.result.total_energy) < 1e-8
+    g_ref = np.asarray(ref.result.gradient)
+    g_pol = np.asarray(pol.result.gradient)
+    assert np.abs(g_pol - g_ref).max() < 1e-8
+
+
 def test_polished_hessian_matches_f64():
     mqc = TWO_WATERS_MQC.format(driver="Hessian").replace("level = 2",
                                                           "level = 1")
