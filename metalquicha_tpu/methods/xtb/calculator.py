@@ -189,16 +189,22 @@ def _mp_tables(frag: FragmentData, cn):
 
 
 def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
-                      solvation=None):
+                      solvation=None, q0=None):
     """Run the (non-differentiated) SCC to get converged shell charges.
 
     ALL inputs are stop-gradient'ed so the iteration contributes nothing to
     any autodiff pass (coords OR parameter derivatives) — the variational
     functional downstream carries the exact derivatives. This also lets the
     tracer prune the scan's backward graph entirely (compile-time win).
+
+    q0: optional warm start (GFN1: shell charges; GFN2: packed AES state)
+    — the mixed-precision polish hands the f32 device state here so the
+    f64 host solve starts one tolerance away from its fixed point.
     """
     frag = jax.tree.map(jax.lax.stop_gradient, frag)
     c = jax.lax.stop_gradient(coords)
+    if q0 is not None:
+        q0 = jax.lax.stop_gradient(q0)
     cn = coordination_numbers(c, frag.at_rcov, frag.atom_mask, frag.glb[11], settings.cn_type)
     gamma = gamma_matrix(c, frag, settings)
     gamma_at = _solv_gamma(c, frag, solvation)
@@ -220,12 +226,13 @@ def _converge_charges(coords, frag: FragmentData, kt, settings: EngineSettings,
         mp = _mp_tables(frag, cn_d3)
         mp["D"], mp["Q"] = D, Q
         z_star, resid = scf_solve_multipole(
-            H0, S, c, gamma, frag, kt, settings, gamma_at, mp
+            H0, S, c, gamma, frag, kt, settings, gamma_at, mp, z0=q0
         )
         return jax.lax.stop_gradient(z_star), jax.lax.stop_gradient(resid)
     S = overlap_matrix(c, frag.ao_atom, frag.ao_lxyz, frag.prim_alpha, frag.prim_coeff)
     H0 = h0_matrix(S, c, frag, cn, settings)
-    q_star, resid = scf_solve(H0, S, gamma, frag, kt, settings, gamma_at)
+    q_star, resid = scf_solve(H0, S, gamma, frag, kt, settings, gamma_at,
+                              q0=q0)
     return jax.lax.stop_gradient(q_star), jax.lax.stop_gradient(resid)
 
 
@@ -239,10 +246,12 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
     (needed for exact SECOND derivatives such as d|grad|/d(theta); first
     derivatives are already exact through the variational functional).
 
-    q_init: skip the SCC solve and refine the supplied state with
-    max(diff_scf_iters, 2) fixed-point steps instead — the warm-start
+    q_init: warm-start the (non-differentiated) SCC solve from the
+    supplied state — it re-converges to this calculator's scf_tol in a
+    handful of Anderson iterations — then refine with
+    max(diff_scf_iters, 2) fully-traced fixed-point steps. The warm-start
     entry for mixed-precision workflows (f32 TPU SCC, f64 host polish;
-    tools/hybrid_energy.py) and for sequential geometries (AIMD/FD
+    methods/xtb/polish.py) and for sequential geometries (AIMD/FD
     sweeps). GFN1: the shell-charge vector; GFN2: the packed AES state
     (shell charges + atomic dipoles/quadrupoles, i.e. the engine's own
     aux["shell_charges"]). The reported scf_residual is the true
@@ -255,7 +264,19 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
         q_star, resid = _converge_charges(coords, frag, kt, settings,
                                           solvation)
     else:
-        q_star, resid = None, None
+        # Mixed-precision warm start: re-solve the SCC to this calculator's
+        # own tolerance from the supplied device state BEFORE the
+        # differentiable refine tail. A fixed-k damped refine alone leaves
+        # a contraction-rate-dependent residual, and the energy GRADIENT'S
+        # error is first order in that residual (the variational functional
+        # is stationary only exactly at q*) — FD Hessians divide it by the
+        # displacement step, which showed up as 0.14 cm^-1 frequency noise
+        # on the TPU production path. The warm-started Anderson solve
+        # reaches f64 tolerance in a handful of iterations, restoring the
+        # same residual scale as the all-f64 parity path.
+        q_star, resid = _converge_charges(coords, frag, kt, settings,
+                                          solvation, q0=q_init)
+        q_init = q_star
 
     gamma_at = _solv_gamma(coords, frag, solvation)
     if (diff_scf_iters or q_init is not None) and settings.multipoles:

@@ -576,8 +576,13 @@ def _aes_moments_of_P(P, S, batch, mp):
 
 
 def scf_solve_multipole(H0, S, coords, gamma, batch, kt,
-                        settings: EngineSettings, gamma_at, mp):
-    """Anderson-mixed SCC over the extended moment state (GFN2/AES)."""
+                        settings: EngineSettings, gamma_at, mp, z0=None):
+    """Anderson-mixed SCC over the extended moment state (GFN2/AES).
+
+    z0: optional warm start (packed AES state) — e.g. f32 device charges
+    handed to the f64 host polish. The fixed point is unique, so the warm
+    start only changes how fast the tolerance is reached.
+    """
     L = _ortho_factors(S)
     nsh = batch.sh_mask.shape[0]
     nat = batch.atom_mask.shape[0]
@@ -631,7 +636,8 @@ def scf_solve_multipole(H0, S, coords, gamma, batch, kt,
         _z, resid, _hx, _hf, it = carry
         return (it < settings.max_scf_iter) & (resid > settings.scf_tol)
 
-    z0 = jnp.zeros(nz, dtype=dtype)
+    z0 = (jnp.zeros(nz, dtype=dtype) if z0 is None
+          else jnp.asarray(z0, dtype=dtype))
     hist_x = jnp.zeros((m, nz), dtype=dtype)
     hist_f = jnp.zeros((m, nz), dtype=dtype)
     z, resid, _, _, _ = jax.lax.while_loop(
@@ -701,8 +707,13 @@ def electronic_energy_multipole(coords, z_star, batch, kt,
     return e_el, eps, f, entropy
 
 
-def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
+def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None,
+              q0=None):
     """Bounded SCC loop (not differentiated) with Anderson mixing.
+
+    q0: optional warm-start shell charges (e.g. f32 device charges handed
+    to the f64 host polish). The fixed point is unique, so the warm start
+    only changes how fast the tolerance is reached.
 
     Runs until the charge residual drops below settings.scf_tol or
     max_scf_iter is reached (tblite parity: iterate to tolerance, not to
@@ -777,7 +788,8 @@ def scf_solve(H0, S, gamma, batch, kt, settings: EngineSettings, gamma_at=None):
     m = settings.broyden_memory
     beta = settings.mixer_damping
     dtype = S.dtype
-    q0 = jnp.zeros(nsh, dtype)  # carry follows S even under x64 (CPU tests)
+    # carry follows S even under x64 (CPU tests)
+    q0 = jnp.zeros(nsh, dtype) if q0 is None else jnp.asarray(q0, dtype)
 
     def fixed_point(q):
         F = _fock(H0, S, q, gamma, batch, settings, gamma_at)

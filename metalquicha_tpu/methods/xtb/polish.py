@@ -4,12 +4,14 @@ The production TPU path runs the SCC in float32 (this TPU has no f64
 ``linalg.solve``), which leaves raw energies 1e-4..4e-3 Ha off the f64
 parity path (TPU_ACCURACY.md). The energy functional is VARIATIONAL in
 the shell charges, so an O(eps) f32 charge error costs only O(eps^2)
-energy error when the functional is re-evaluated in f64 at (a few damped
-refinements of) the f32-converged charges — measured 1e-12 Ha at k=4
-(TPU_ACCURACY.md "Mitigation"). Gradients inherit the same property:
-the variational gradient is evaluated at the stop-gradient'ed refined
-charges, so one f64 gradient evaluation per fragment (no f64 SCC) gives
-f64-accurate forces — which makes FD Hessians and frequencies f64-exact
+energy error when the functional is re-evaluated in f64 at the refined
+charges — measured 1e-12 Ha (TPU_ACCURACY.md "Mitigation"). Gradients
+are only FIRST order in the remaining charge residual (stationarity
+holds exactly at q*, not near it), and FD Hessians divide that error by
+the displacement step — so the polish warm-starts the full f64 Anderson
+solve from the f32 state (single_point_energy q_init path) and runs it
+to POLISH_SCF_TOL, putting polished gradients at the all-f64 path's own
+residual scale. That makes FD Hessians and frequencies f64-accurate
 too, since the driver assembles them from these gradients.
 
 The reference has no analog: its results are f64 everywhere
@@ -31,10 +33,19 @@ import numpy as np
 
 from .calculator import XtbCalculator, single_point_energy
 
-#: damped f64 refinement steps from the f32-converged charges. k=4 already
-#: reaches ~1e-11 Ha (TPU_ACCURACY.md); 6 buys slack for slowly-contracting
-#: fragments (charged clusters) at negligible host cost.
-POLISH_ITERS = 6
+#: differentiable refine-tail steps AFTER the warm-started f64 Anderson
+#: solve (single_point_energy re-solves to calc64's scf_tol from the f32
+#: state, so the tail only reports the true post-solve residual; 2 is the
+#: minimum the q_init path uses).
+POLISH_ITERS = 2
+
+#: early-exit tolerance for the polisher's warm-started f64 solve. FD
+#: Hessians difference polished gradients, whose error is FIRST order in
+#: the charge residual (stationarity holds only exactly at q*), divided by
+#: the 0.005 Bohr step — a 1e-7 residual shows up as ~0.1 cm^-1 frequency
+#: noise. 1e-11 puts the polish at the all-f64 path's own residual scale;
+#: the warm start makes the extra Anderson iterations cheap.
+POLISH_SCF_TOL = 1e-11
 
 
 def host_polish_available() -> bool:
@@ -59,6 +70,12 @@ class HostPolisher:
         settings = device_calc.settings
         if hasattr(settings, "use_pallas_eigh") and settings.use_pallas_eigh:
             settings = settings._replace(use_pallas_eigh=False)
+        # tighten the early-exit: the device calculator's tol is scaled for
+        # f32; the polish's warm-started f64 solve must go to ~machine
+        # residual (see POLISH_SCF_TOL). scf_tol == 0.0 (fixed-iteration
+        # semantics, runs the full budget) is already at least as tight.
+        if settings.scf_tol and settings.scf_tol > POLISH_SCF_TOL:
+            settings = settings._replace(scf_tol=POLISH_SCF_TOL)
         self.calc64 = XtbCalculator(
             settings=settings,
             variant=device_calc.variant,
@@ -104,14 +121,15 @@ class HostPolisher:
     def rescue(self, tuples, pad_to, what: str):
         """FULL f64 host SCC for fragments whose f32 device SCC failed.
 
-        The polish's k damped refinements assume a CONVERGED f32 starting
-        point; a diverged device SCC (slow-contracting fragments — GMBE
+        The polish warm-starts its f64 solve from the f32 state; a
+        diverged device SCC (slow-contracting fragments — GMBE
         coincident-cap intersections, highly charged clusters — can
-        oscillate in f32) hands it garbage charges. Those fragments are
-        re-solved from scratch in f64 on the host with the full iteration
-        budget, exactly like the CPU parity path. The batch is padded to a
-        fixed quantum so repeated rescues of 1-2 stragglers reuse one
-        compiled program per bucket shape.
+        oscillate in f32) hands it a garbage warm start that may burn the
+        whole bounded budget and still miss tolerance. Those fragments are
+        re-solved from scratch (zeros start) in f64 on the host with the
+        full iteration budget, exactly like the CPU parity path. The batch
+        is padded to a fixed quantum so repeated rescues of 1-2 stragglers
+        reuse one compiled program per bucket shape.
         """
         RESCUE_PAD = 8
         dummy = (np.array([1]), np.zeros((1, 3)), 0, 2)

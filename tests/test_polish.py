@@ -74,13 +74,17 @@ def test_polished_hessian_matches_f64():
     h_pol = np.asarray(pol.result.hessian)
     n_ref = float(np.sqrt((h_ref**2).sum()))
     n_pol = float(np.sqrt((h_pol**2).sum()))
-    # FD Hessians of polished gradients: norm agreement well under the
-    # validation tolerance (raw f32 was off by 0.25)
-    assert abs(n_pol - n_ref) < 1e-6
+    # FD Hessians difference polished GRADIENTS, whose error is first
+    # order in the post-polish charge residual — the warm-started f64
+    # solve in the q_init path (POLISH_SCF_TOL) is what keeps these
+    # tight: with the old fixed-k damped refine the frequency deviation
+    # was 0.14 cm^-1 (TPU production leg, w1_vib_therm); with the warm
+    # solve it is ~5e-4 cm^-1. Raw f32 was off by 0.25 on the norm.
+    assert abs(n_pol - n_ref) < 1e-7
     if ref.vibrational is not None and pol.vibrational is not None:
         f_ref = np.sort(np.asarray(ref.vibrational.frequencies))[-3:]
         f_pol = np.sort(np.asarray(pol.vibrational.frequencies))[-3:]
-        assert np.abs(f_pol - f_ref).max() < 0.1  # cm^-1
+        assert np.abs(f_pol - f_ref).max() < 0.01  # cm^-1
 
 
 def _water_frags(n):

@@ -17,6 +17,13 @@ own process):
 
 The cpu stage appends a mitigation table to TPU_ACCURACY.md and writes
 the rows into TPU_ACCURACY.json under "mitigation".
+
+NOTE (historical): this experiment motivated the production polish and
+predates its final form. single_point_energy's q_init path now also
+warm-starts the full f64 Anderson solve before the k refine steps
+(gradients are first order in the leftover residual; see
+methods/xtb/polish.py), so the k-sweep below measures the refine tail
+on top of a solved state and the columns all sit at ~1e-12.
 """
 
 from __future__ import annotations
