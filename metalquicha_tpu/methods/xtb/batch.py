@@ -36,7 +36,8 @@ PAD_COORD_STEP = 1000.0  # Bohr between padded atoms
 #: (differentiable in the parameter fit, sourced from params.GLOBALS)
 GLB_FIELDS = ("kss", "ksp", "ksd", "kpp", "kpd", "kdd", "kpol", "ken",
               "kexp", "rexp", "gexp", "kcn_exp",
-              "disp_s6", "disp_s8", "disp_a1", "disp_a2")
+              "disp_s6", "disp_s8", "disp_a1", "disp_a2",
+              "disp_s9", "disp_rs9")
 
 
 def global_vector(variant: str = "gfn1") -> np.ndarray:

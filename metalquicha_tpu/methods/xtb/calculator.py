@@ -20,7 +20,9 @@ import numpy as np
 
 from ...constants import KB_HARTREE
 from .batch import XtbBatch, build_batch
-from .dispersion_d3 import build_d3_tables, d3_energy, full_pair_table
+from .dispersion_d3 import (
+    atm_energy, build_d3_tables, d3_energy, full_pair_table,
+)
 from .engine import (
     EngineSettings,
     coordination_numbers,
@@ -368,6 +370,21 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
             mu_at * frag.atom_mask[:, None]
         ).sum(0)
         e_disp = jnp.zeros((), coords.dtype)
+        if settings.disp_s9:
+            # ATM triple-dipole term: charge-INdependent (D4 keeps the
+            # three-body term unscaled), so it sits outside the SCC unlike
+            # the in-loop charge-scaled two-body dispersion
+            d3tab = {
+                "ref_cn": frag.d3_ref_cn,
+                "zidx": frag.d3_zidx,
+                "sqrtc6": frag.d3_sqrtc6,
+                "pair_table": frag.d3_c6_pair,
+                "r4r2": frag.d3_r4r2,
+            }
+            e_disp = atm_energy(
+                coords, cn, d3tab, frag.atom_mask,
+                frag.glb[16], frag.glb[17], frag.glb[14], frag.glb[15],
+            )
     else:
         e_el, eps, f, entropy = electronic_energy(
             coords, q_star, frag, kt, settings, gamma_at
@@ -383,6 +400,13 @@ def single_point_energy(coords, frag: FragmentData, settings: EngineSettings,
             coords, cn, d3tab, frag.atom_mask,
             frag.glb[12], frag.glb[13], frag.glb[14], frag.glb[15],
         )
+        if settings.disp_s9:
+            # ATM triple-dipole term (static gate; traced s9/rs9 so the
+            # parameter fit differentiates through the globals)
+            e_disp = e_disp + atm_energy(
+                coords, cn, d3tab, frag.atom_mask,
+                frag.glb[16], frag.glb[17], frag.glb[14], frag.glb[15],
+            )
         q_at = jnp.zeros(nat, q_star.dtype).at[frag.sh_atom].add(
             q_star * frag.sh_mask
         )

@@ -263,6 +263,87 @@ def c6_coefficients(cn, ref_cn, zidx, pair_table, sqrtc6=None):
     return jnp.where(both_core, c6, s[:, None] * s[None, :])
 
 
+def atm_energy(coords, cn, d3tab, atom_mask, s9, rs9, a1, a2, alp=16.0):
+    """Axilrod-Teller-Muto three-body dispersion (zero-damped).
+
+    E3 = s9 * sum_{A<B<C} sqrt(C6_AB C6_BC C6_CA) * ang * fdamp
+                          / (r_AB r_BC r_CA)^3
+    ang   = 0.375*(r2ab+r2bc-r2ca)(r2ab-r2bc+r2ca)(-r2ab+r2bc+r2ca)
+            / (r2ab r2bc r2ca) + 1        (= 3 cos(a)cos(b)cos(c) + 1)
+    fdamp = 1 / (1 + 6*(r0_ABC / (r_AB r_BC r_CA))^(alp/3)),
+    r0_AB = rs9 * (a1*sqrt(3 r4r2_A r4r2_B) + a2).
+
+    The damping-range scale rs9 is a FITTED global: rs9=1 reproduces the
+    BJ critical radii, rs9~0.65 lands on the dftd3 R0AB vdW-radius scale
+    (r0_OO ~ 5.1 Bohr), where s9=1 supplies +2.0e-3 Ha of beyond-pairwise
+    energy on the (H2O)20 MBE(4) case — the exact magnitude and sign of
+    the parameter-stationary w20 residual (tools/exp_atm_scan.py). tblite
+    evaluates the xTB dispersion through s-dftd3, whose rational-damping
+    ATM term this reconstructs; the reference inherits it via
+    mqc_method_xtb.f90's tblite single points.
+
+    Positive (repulsive) for compact triangles, negative near-linear;
+    purely geometric (no SCC state), differentiable in coords and in the
+    traced globals (s9, rs9) for the parameter fit. Padded atoms and
+    coincident pairs (GMBE caps) are masked with safe substitutes so the
+    backward pass stays finite.
+    """
+    dt = coords.dtype
+    nat = coords.shape[0]
+    eye = jnp.eye(nat, dtype=dt)
+    diff = coords[:, None, :] - coords[None, :, :]
+    r2 = (diff**2).sum(-1) + eye  # diagonal shifted off zero
+
+    c6 = c6_coefficients(
+        cn, d3tab["ref_cn"], d3tab["zidx"], d3tab["pair_table"],
+        d3tab.get("sqrtc6"),
+    )
+    r4r2 = d3tab["r4r2"]
+    qq = 3.0 * r4r2[:, None] * r4r2[None, :]
+    # same qq>0 guard as d3_energy: padded atoms have r4r2 == 0 and are
+    # fully masked below, so the 1.0 substitute never reaches the sum
+    r0 = rs9 * (a1 * jnp.sqrt(jnp.where(qq > 0, qq, 1.0)) + a2)
+
+    pair_ok = (
+        atom_mask[:, None] * atom_mask[None, :]
+        * (1.0 - eye)
+        * (r2 > 1e-10)  # skip coincident pairs (GMBE caps)
+    )
+    # safe pair quantities: masked entries get inert substitutes BEFORE any
+    # sqrt/division so the backward pass never sees inf * 0
+    r2s = jnp.where(pair_ok > 0, r2, 1.0)
+    rs = jnp.sqrt(r2s)
+    c6s = jnp.where(pair_ok > 0, jnp.maximum(c6, 0.0), 0.0)
+
+    # (N,N,N) triple tensors; axes (a,b,c) carry pairs ab, bc, ca
+    r2ab = r2s[:, :, None]
+    r2bc = r2s[None, :, :]
+    r2ca = r2s.T[:, None, :]
+    rrr = rs[:, :, None] * rs[None, :, :] * rs.T[:, None, :]
+    c9 = jnp.sqrt(
+        jnp.maximum(
+            c6s[:, :, None] * c6s[None, :, :] * c6s.T[:, None, :], 1e-30
+        )
+    )
+    ang = (
+        0.375
+        * (r2ab + r2bc - r2ca)
+        * (r2ab - r2bc + r2ca)
+        * (-r2ab + r2bc + r2ca)
+        / (r2ab * r2bc * r2ca)
+        + 1.0
+    )
+    r0p = r0[:, :, None] * r0[None, :, :] * r0.T[:, None, :]
+    fd = 1.0 / (1.0 + 6.0 * (r0p / rrr) ** (alp / 3.0))
+
+    tmask = (
+        pair_ok[:, :, None] * pair_ok[None, :, :] * pair_ok.T[:, None, :]
+    )
+    # each unordered triple appears 6x in the full (a,b,c) tensor
+    e3 = (c9 * ang * fd / rrr**3 * tmask).sum() / 6.0
+    return s9 * e3
+
+
 def d3_energy(
     coords, cn, d3tab, atom_mask, s6, s8, a1, a2, c6_scale=None
 ):

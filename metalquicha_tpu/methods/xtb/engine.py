@@ -70,6 +70,12 @@ class EngineSettings(NamedTuple):
     disp_s8: float = 2.4
     disp_a1: float = 0.63
     disp_a2: float = 5.0
+    #: ATM three-body dispersion (dispersion_d3.atm_energy). s9 = 0 keeps
+    #: the two-body-only form; a STATIC gate — the traced values ride
+    #: FragmentData.glb[16]/glb[17] so the parameter fit differentiates
+    #: through them. Tables and s9 travel together (overlay globals).
+    disp_s9: float = 0.0
+    disp_rs9: float = 0.65
     # --- discrete functional-form variants (tblite-convention candidates,
     # selected empirically against the reference validation set) ---
     #: K rule for pairs involving a polarization shell:
@@ -121,6 +127,8 @@ def settings_from_params(variant: str = "gfn1", **overrides) -> "EngineSettings"
         disp_s8=g.disp_s8,
         disp_a1=g.disp_a1,
         disp_a2=g.disp_a2,
+        disp_s9=getattr(g, "disp_s9", 0.0),
+        disp_rs9=getattr(g, "disp_rs9", 0.65),
         multipoles=bool(getattr(g, "multipoles", False)),
         eta_average=getattr(g, "eta_average", "harmonic"),
         cn_type=getattr(g, "cn_type", "exp"),

@@ -113,7 +113,19 @@ class GlobalParams:
     disp_s8: float = 2.4
     disp_a1: float = 0.63
     disp_a2: float = 5.0
-    disp_s9: float = 0.0     # GFN1 uses two-body D3(BJ) only
+    #: ATM three-body dispersion scale. tblite evaluates xTB dispersion
+    #: through s-dftd3 WITH the triple-dipole term (published s9 = 1.0);
+    #: 0.0 = two-body-only form. A TABLE-PAIRING value like klight: tables
+    #: fitted without the term keep s9 = 0 until refitted (the shipped
+    #: overlay's globals stamp the working value). The beyond-pairwise
+    #: footprint of the term on (H2O)20 at MBE(4) is +2.0e-3 Ha — the
+    #: exact magnitude/sign of the parameter-stationary w20 residual
+    #: (tools/exp_atm_scan.py).
+    disp_s9: float = 0.0
+    #: ATM damping-range scale on the BJ critical radii: rs9 = 0.65 puts
+    #: r0_OO at ~5.1 Bohr, the dftd3 R0AB vdW-radius scale where s9 = 1
+    #: reproduces the w20 beyond-pairwise residual; refined by the fit.
+    disp_rs9: float = 0.65
     kdiff_enscale: bool = True  # apply EN factor to all off-site pairs
     # functional-form selections (empirically identified against the
     # reference validation set; see EngineSettings for the semantics)
